@@ -1,0 +1,273 @@
+"""Batched, fused AMC feature extraction — the TPU compute core.
+
+Computes the 18 statistical features of the reference feature set
+(``/root/reference/src/amcpy/features.py:66-211``) for a *batch* of complex
+IQ frames in one fused pass:
+
+====  =================  ==========================================================
+ id    name               definition
+====  =================  ==========================================================
+ 1     gamma_max          max |FFT(x)|^2 / N
+ 2     sigma_ap           std(|angle(x)|), ddof=1
+ 3     sigma_dp           std(angle(x)), ddof=1
+ 4     sigma_aa           std(| |x|/mean|x| - 1 |), ddof=1
+ 5     sigma_af           std(inst_freq), ddof=1;  inst_freq = diff(unwrap(angle))/2pi
+ 6     X                  mean |x|
+ 7     X_2                sqrt(sum |x|) / N
+ 8     mu42_a             Pearson kurtosis (biased, fisher=False) of CN amplitude
+ 9     mu42_f             Pearson kurtosis of inst_freq
+10-18  C20..C63           abs of higher-order cumulant combinations of the mixed
+                          moments m_pq = E[x^(p-q) conj(x)^q]
+====  =================  ==========================================================
+
+Design (TPU-first, NOT a translation of the reference):
+
+* The reference computes each feature per frame in Python, rebuilding all 11
+  moments for each of the 9 cumulant features and the instantaneous streams
+  4x over (``features.py:84-185``). Here every shared intermediate
+  (amplitude, phase, wrapped phase diff, moment sums) is computed exactly
+  once per frame, batched over ``(B, N)`` arrays that live in HBM/VMEM.
+* Arithmetic is planar real (I/Q float32 pairs) rather than interleaved
+  complex — the TPU VPU has no complex ALU, and planar form lets XLA fuse
+  everything into a handful of vectorized reduction loops. Only the FFT for
+  feature 1 runs in complex form (XLA's native FFT).
+* No sequential ops: ``diff(unwrap(phase))`` is replaced by the wrapped
+  principal-value first difference (identical by construction — unwrap only
+  adds multiples of 2pi which cancel in the diff), so there is no
+  ``cumsum``/scan anywhere and the whole extractor is one embarrassingly
+  parallel map + reductions.
+* Per-frame scale normalization: all 18 features are homogeneous in the
+  input scale ``s`` with known degree (e.g. C60 ~ s^6), so frames are
+  normalized by max|x| before the moment accumulation and the outputs are
+  rescaled exactly. This keeps x^6-order terms in the heart of the float32
+  range, matching the float64 NumPy reference within ~1e-5 relative.
+
+The public entry point is :func:`extract_features`; it is jit-friendly,
+vmap-free (natively batched), and differentiable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "extract_features",
+    "NUM_FEATURES",
+    "SCALE_DEGREES",
+]
+
+NUM_FEATURES = 18
+
+#: Homogeneity degree of each feature in the input scale: f(s*x) = s^d f(x).
+#: Order: features 1..18. Non-integer: X_2 (feature 7) scales as sqrt(s).
+SCALE_DEGREES = np.array(
+    [2, 0, 0, 0, 0, 1, 0.5, 0, 0, 2, 2, 4, 4, 4, 6, 6, 6, 6], dtype=np.float64
+)
+
+_PI = np.pi
+_TWO_PI = 2.0 * np.pi
+
+
+# ---------------------------------------------------------------------------
+# Small batched statistics helpers (reductions over the last axis)
+# ---------------------------------------------------------------------------
+
+
+def _std_ddof1(v: jax.Array) -> jax.Array:
+    """Sample standard deviation (ddof=1) over the last axis."""
+    n = v.shape[-1]
+    m = jnp.mean(v, axis=-1, keepdims=True)
+    return jnp.sqrt(jnp.sum(jnp.square(v - m), axis=-1) / (n - 1))
+
+
+def _kurtosis(v: jax.Array) -> jax.Array:
+    """Pearson kurtosis m4/m2^2 with biased central moments.
+
+    Matches ``scipy.stats.kurtosis(v, fisher=False)`` with its default
+    ``bias=True`` as used by the reference (``features.py:107,113``).
+    """
+    m = jnp.mean(v, axis=-1, keepdims=True)
+    c = v - m
+    c2 = jnp.square(c)
+    m2 = jnp.mean(c2, axis=-1)
+    m4 = jnp.mean(jnp.square(c2), axis=-1)
+    return m4 / jnp.square(m2)
+
+
+def _wrapped_phase_diff(phase: jax.Array) -> jax.Array:
+    """Principal-value first difference of the phase, in (-pi, pi].
+
+    Equivalent to ``np.diff(np.unwrap(phase))`` including NumPy's edge
+    convention: a difference of exactly -pi with a positive raw diff maps
+    to +pi (``np.unwrap`` internals). This removes the sequential unwrap
+    from the reference hot path (``features.py:29-30``).
+    """
+    d = phase[..., 1:] - phase[..., :-1]
+    w = jnp.mod(d + _PI, _TWO_PI) - _PI
+    return jnp.where((w == -_PI) & (d > 0), _PI, w)
+
+
+# ---------------------------------------------------------------------------
+# Main extractor
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("normalize_scale", "compute_gmax"))
+def extract_features(
+    frames: jax.Array,
+    *,
+    normalize_scale: bool = True,
+    compute_gmax: bool = True,
+) -> jax.Array:
+    """Compute all 18 features for a batch of complex frames.
+
+    Parameters
+    ----------
+    frames
+        Complex array of shape ``(..., N)`` — any number of leading batch
+        dims, typically ``(B, N)`` with N the frame size.
+    normalize_scale
+        Normalize each frame by its max magnitude before accumulating
+        moments, then rescale outputs exactly via the features' known
+        homogeneity degrees. Improves float32 accuracy for large-amplitude
+        inputs at negligible cost; mathematically exact either way.
+    compute_gmax
+        When False, feature 1 is filled with zeros and the FFT is skipped
+        (useful for FFT-free micro-benchmarks of the moment pipeline).
+
+    Returns
+    -------
+    Array of shape ``(..., 18)`` in the frames' real dtype, feature id
+    ``j+1`` in column ``j``.
+    """
+    if not jnp.issubdtype(frames.dtype, jnp.complexfloating):
+        raise TypeError(f"frames must be complex, got {frames.dtype}")
+    n = frames.shape[-1]
+    real_dtype = jnp.finfo(frames.dtype).dtype  # float32 for complex64
+
+    i = jnp.real(frames)
+    q = jnp.imag(frames)
+
+    # ---- instantaneous streams (scale-invariant features) ----------------
+    a2_raw = i * i + q * q
+    a_raw = jnp.sqrt(a2_raw)
+    phase = jnp.arctan2(q, i)
+    abs_phase = jnp.abs(phase)
+
+    mean_a = jnp.mean(a_raw, axis=-1)  # feature 6 (of the raw scale)
+    # centred-normalized amplitude |x|/mean|x| - 1  (features.py:31)
+    cn = a_raw / mean_a[..., None] - 1.0
+    freq = _wrapped_phase_diff(phase) / _TWO_PI
+
+    f2 = _std_ddof1(abs_phase)
+    f3 = _std_ddof1(phase)
+    f4 = _std_ddof1(jnp.abs(cn))
+    f5 = _std_ddof1(freq)
+    f6 = mean_a
+    f7 = jnp.sqrt(jnp.sum(a_raw, axis=-1)) / n
+    f8 = _kurtosis(cn)
+    f9 = _kurtosis(freq)
+
+    # ---- scale normalization for the polynomial features -----------------
+    if normalize_scale:
+        s = jnp.max(a_raw, axis=-1)
+        s = jnp.where(s > 0, s, jnp.ones_like(s))
+        inv_s = (1.0 / s)[..., None]
+        iu = i * inv_s
+        qu = q * inv_s
+        a2 = a2_raw * jnp.square(inv_s)
+    else:
+        s = jnp.ones(frames.shape[:-1], real_dtype)
+        iu, qu, a2 = i, q, a2_raw
+
+    # ---- mixed moments, planar complex arithmetic ------------------------
+    # x^2 = (i^2 - q^2) + j(2iq); |x|^2 = a2. Using |x|^2 collapses the
+    # conjugate-bearing moments:
+    #   m21 = E|x|^2, m41 = E x^2|x|^2, m42 = E|x|^4, m61 = E x^4|x|^2,
+    #   m62 = E x^2|x|^4, m63 = E|x|^6, m22 = conj(m20), m43 = conj(m41)
+    # so only x^2, x^4, x^6 and powers of a2 are ever materialized — half
+    # the complex multiplies of the reference's 11 independent means
+    # (``features.py:46-58``).
+    x2r = iu * iu - qu * qu
+    x2i = 2.0 * iu * qu
+    x4r = x2r * x2r - x2i * x2i
+    x4i = 2.0 * x2r * x2i
+    x6r = x4r * x2r - x4i * x2i
+    x6i = x4r * x2i + x4i * x2r
+    a4 = a2 * a2
+
+    def mean(v):
+        return jnp.mean(v, axis=-1)
+
+    m20 = jax.lax.complex(mean(x2r), mean(x2i))
+    m21 = mean(a2)  # real by construction (reference takes .real)
+    m40 = jax.lax.complex(mean(x4r), mean(x4i))
+    m41 = jax.lax.complex(mean(x2r * a2), mean(x2i * a2))
+    m42 = mean(a4)  # real
+    m60 = jax.lax.complex(mean(x6r), mean(x6i))
+    m61 = jax.lax.complex(mean(x4r * a2), mean(x4i * a2))
+    m62 = mean(x2r * a4)  # reference keeps only the real part
+    m63 = mean(a2 * a4)  # real
+    m22 = jnp.conj(m20)
+    m43 = jnp.conj(m41)
+
+    # ---- cumulants (reference formulas, features.py:116-185) -------------
+    c20 = jnp.abs(m20)
+    c21 = jnp.abs(m21)
+    c40 = jnp.abs(m40 - 3.0 * m20 * m20)
+    c41 = jnp.abs(m41 - 3.0 * m20 * m21)
+    c42 = jnp.abs(m42 - jnp.square(jnp.abs(m20)) - 2.0 * jnp.square(m21))
+    m20_sq = m20 * m20
+    c60 = jnp.abs(m60 - 15.0 * m20 * m40 + 3.0 * m20_sq * m20)
+    c61 = jnp.abs(
+        m61 - 5.0 * m21 * m40 - 10.0 * m20 * m41 + 30.0 * m20_sq * m21
+    )
+    c62 = jnp.abs(
+        m62
+        - 6.0 * m20 * m42
+        - 8.0 * m21 * m41
+        - m22 * m40
+        + 6.0 * m20_sq * m22
+        + 24.0 * jnp.square(m21) * m20
+    )
+    c63 = jnp.abs(
+        m63
+        - 9.0 * m21 * m42
+        + 12.0 * m21 * jnp.square(m21)
+        - 3.0 * m20 * m43
+        - 3.0 * m22 * m41
+        + 18.0 * m20 * m21 * m22
+    )
+
+    # ---- gamma_max (XLA FFT) ---------------------------------------------
+    if compute_gmax:
+        spec = frames * (inv_s.astype(frames.dtype) if normalize_scale else 1.0)
+        fft = jnp.fft.fft(spec, axis=-1)
+        f1 = jnp.max(
+            jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)), axis=-1
+        ) / n
+    else:
+        f1 = jnp.zeros(frames.shape[:-1], real_dtype)
+
+    # ---- exact un-normalization ------------------------------------------
+    if normalize_scale:
+        s2 = s * s
+        s4 = s2 * s2
+        s6 = s4 * s2
+        f1 = f1 * s2
+        c20, c21 = c20 * s2, c21 * s2
+        c40, c41, c42 = c40 * s4, c41 * s4, c42 * s4
+        c60, c61, c62, c63 = c60 * s6, c61 * s6, c62 * s6, c63 * s6
+
+    feats = jnp.stack(
+        [
+            f1, f2, f3, f4, f5, f6, f7, f8, f9,
+            c20, c21, c40, c41, c42, c60, c61, c62, c63,
+        ],
+        axis=-1,
+    )
+    return feats.astype(real_dtype)

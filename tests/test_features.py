@@ -1,0 +1,130 @@
+"""Conformance tests for the fused feature extractor.
+
+1. Golden-vector test: the reference repo's embedded unit tests pin exact
+   values for all 18 features on a deterministic 10-sample signal
+   (``/root/reference/src/amcpy/features.py:283-311``). Those values are the
+   primary parity artifact and are reproduced here verbatim (rtol=1e-5).
+2. Fuzz parity vs the independent float64 NumPy oracle over random
+   QAM/PSK/WGN-like frames at realistic frame sizes.
+"""
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.ops.features import NUM_FEATURES, extract_features
+
+from .oracle import features_batch, features_frame, term_scales
+
+
+def _golden_signal() -> np.ndarray:
+    re = np.array([0, -1, 2, -3, 4, -5, 6, -7, 8, -9], dtype=np.float64)
+    im = -re
+    im[0] = 0.0
+    return (re + 1j * im).astype(np.complex128)
+
+
+# Golden values from the reference's own unit tests (features.py:286-305).
+GOLDEN = np.array(
+    [
+        405.0,
+        0.940293603578649,
+        1.5903100728408748,
+        0.3312693299999689,
+        0.5153882032022075,
+        6.363961030678928,
+        0.7977443845417482,
+        1.7757575757575754,
+        1.0627162629757787,
+        57.0,
+        57.0,
+        3613.8,
+        3613.8,
+        3613.8,
+        3905583.0,
+        1094628.0,
+        311904.0,
+        1094628.0,
+    ]
+)
+
+
+def test_oracle_matches_golden():
+    got = features_frame(_golden_signal())
+    np.testing.assert_allclose(got, GOLDEN, rtol=1e-10)
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+def test_extractor_matches_golden(normalize):
+    sig = _golden_signal().astype(np.complex64)[None, :]
+    got = np.asarray(extract_features(sig, normalize_scale=normalize))[0]
+    np.testing.assert_allclose(got, GOLDEN, rtol=2e-5)
+
+
+def _random_frames(kind: str, b: int, n: int, snr_db: float, rng) -> np.ndarray:
+    """Synthesize modulated frames + AWGN (oracle-side generator)."""
+    if kind == "wgn":
+        sym = np.zeros((b, n), np.complex128)
+    elif kind == "bpsk":
+        sym = rng.choice([-1.0, 1.0], size=(b, n)).astype(np.complex128)
+    elif kind == "qpsk":
+        c = np.exp(1j * (np.pi / 4 + np.pi / 2 * np.arange(4)))
+        sym = c[rng.integers(0, 4, size=(b, n))]
+    elif kind == "qam16":
+        lv = np.array([-3.0, -1.0, 1.0, 3.0]) / np.sqrt(10)
+        sym = lv[rng.integers(0, 4, (b, n))] + 1j * lv[rng.integers(0, 4, (b, n))]
+    else:
+        raise ValueError(kind)
+    npow = 10 ** (-snr_db / 10)
+    noise = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))) * np.sqrt(
+        npow / 2
+    )
+    if kind == "wgn":
+        noise = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))) / np.sqrt(2)
+        return noise
+    return sym + noise
+
+
+@pytest.mark.parametrize("kind", ["bpsk", "qpsk", "qam16", "wgn"])
+@pytest.mark.parametrize("snr_db", [-10.0, 0.0, 20.0])
+def test_fuzz_parity_vs_oracle(kind, snr_db):
+    rng = np.random.default_rng(hash((kind, snr_db)) % 2**32)
+    frames = _random_frames(kind, 4, 2048, snr_db, rng)
+    want = features_batch(frames)
+    got = np.asarray(extract_features(frames.astype(np.complex64)))
+    assert got.shape == (4, NUM_FEATURES)
+
+    for bi in range(frames.shape[0]):
+        scales = term_scales(frames[bi])
+        err = np.abs(got[bi] - want[bi])
+        # float32 pipeline vs float64 oracle: error budget is relative to
+        # the magnitude of the terms entering each feature (cumulants are
+        # cancellations of moment products).
+        tol = 1e-4 * scales + 1e-5 * np.abs(want[bi])
+        bad = err > tol
+        assert not bad.any(), (
+            f"{kind}@{snr_db}dB frame {bi}: features {np.nonzero(bad)[0] + 1} "
+            f"err={err[bad]} tol={tol[bad]} got={got[bi][bad]} want={want[bi][bad]}"
+        )
+
+
+def test_large_amplitude_scaling():
+    """Scale normalization keeps huge-amplitude frames accurate in float32."""
+    rng = np.random.default_rng(0)
+    frames = _random_frames("qam16", 2, 1024, 10.0, rng) * 1e4
+    want = features_batch(frames)
+    got = np.asarray(extract_features(frames.astype(np.complex64)))
+    for bi in range(2):
+        scales = term_scales(frames[bi])
+        err = np.abs(got[bi] - want[bi])
+        assert (err <= 1e-4 * scales + 1e-5 * np.abs(want[bi])).all()
+
+
+def test_batch_shapes_and_dtype():
+    rng = np.random.default_rng(1)
+    frames = _random_frames("qpsk", 3, 256, 5.0, rng).astype(np.complex64)
+    out = extract_features(frames)
+    assert out.shape == (3, 18)
+    assert out.dtype == np.float32
+    # leading batch dims preserved
+    out2 = extract_features(frames.reshape(1, 3, 256))
+    np.testing.assert_allclose(np.asarray(out2)[0], np.asarray(out), rtol=1e-6)
