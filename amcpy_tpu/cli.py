@@ -1,0 +1,254 @@
+"""Command-line interface.
+
+Mirrors the reference CLI surface (``/root/reference/src/amcpy/main.py:25-65``:
+``extract | plot | train | eval | quantize | full``) plus a ``generate``
+command for the synthetic dataset the reference lacked. Unlike the
+reference — whose ``--epochs/--batch-size/--lr/--optimizer`` flags were
+parsed but never reached training (SURVEY.md sec 3 defect 6) — every flag
+here threads into the frozen config via ``Config.replace`` before any work
+starts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from amcpy_tpu.config import Config
+
+__all__ = ["main", "build_parser"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="amc",
+        description="amcpy-tpu — TPU-native Automatic Modulation Classification",
+    )
+    parser.add_argument("--root", default=None, help="project root directory")
+    parser.add_argument("--config", default=None, help="YAML config file")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    gen_p = sub.add_parser("generate", help="Generate a synthetic IQ dataset")
+    gen_p.add_argument("--seed", type=int, default=0)
+    gen_p.add_argument("--frames", type=int, default=None)
+    gen_p.add_argument("--frame-size", type=int, default=None)
+
+    ext_p = sub.add_parser("extract", help="Extract features from raw .mat data")
+    ext_p.add_argument("--force", action="store_true",
+                       help="recompute even if artifacts exist")
+
+    sub.add_parser("plot", help="Generate feature visualisations")
+
+    train_p = sub.add_parser("train", help="Train the neural network")
+    train_p.add_argument("--epochs", type=int, default=None)
+    train_p.add_argument("--batch-size", type=int, default=None)
+    train_p.add_argument("--lr", type=float, default=None)
+    train_p.add_argument("--dropout", type=float, default=None)
+    train_p.add_argument(
+        "--optimizer", choices=["rmsprop", "adam", "nadam"], default=None
+    )
+    train_p.add_argument("--activation", default=None)
+    train_p.add_argument("--seed", type=int, default=None)
+
+    eval_p = sub.add_parser("eval", help="Evaluate a trained model")
+    eval_p.add_argument("model_id", nargs="?", default=None)
+    eval_p.add_argument(
+        "--mode", choices=["training", "test"], default="test",
+        help="training = high-SNR only; test = all SNR",
+    )
+
+    quant_p = sub.add_parser("quantize", help="Quantize model for ARM deployment")
+    quant_p.add_argument("model_id", nargs="?", default=None)
+    quant_p.add_argument(
+        "--range-mode", choices=["full", "reference"], default="full"
+    )
+    quant_p.add_argument(
+        "--no-fold-bn", action="store_true",
+        help="export raw Dense weights without folding BatchNorm "
+             "(reference-parity layout)",
+    )
+
+    sub.add_parser("full", help="Run full pipeline: extract -> plot -> train")
+    return parser
+
+
+def _load_config(args: argparse.Namespace) -> Config:
+    cfg = Config.from_yaml(args.config) if args.config else Config()
+    if args.root:
+        cfg = cfg.replace(paths={"root": args.root})
+    return cfg
+
+
+def _training_overrides(cfg: Config, args: argparse.Namespace) -> Config:
+    over = {}
+    for flag, key in [
+        ("epochs", "epochs"),
+        ("batch_size", "batch_size"),
+        ("lr", "learning_rate"),
+        ("dropout", "dropout"),
+        ("optimizer", "optimizer"),
+        ("activation", "activation"),
+        ("seed", "seed"),
+    ]:
+        v = getattr(args, flag, None)
+        if v is not None:
+            over[key] = v
+    return cfg.replace(training=over) if over else cfg
+
+
+def cmd_generate(cfg: Config, args: argparse.Namespace) -> None:
+    from amcpy_tpu.data.synth import write_dataset
+
+    over = {}
+    if args.frames:
+        over["num_frames"] = args.frames
+    if args.frame_size:
+        over["frame_size"] = args.frame_size
+    if over:
+        cfg = cfg.replace(signals=over)
+    path = write_dataset(cfg, seed=args.seed)
+    print(f"Dataset written -> {path}")
+
+
+def cmd_extract(cfg: Config, args: argparse.Namespace) -> None:
+    from amcpy_tpu.extraction import run_extraction
+
+    run_extraction(cfg, force=getattr(args, "force", False))
+    print("All feature calculations complete!")
+
+
+def cmd_plot(cfg: Config, args: argparse.Namespace) -> None:
+    from amcpy_tpu.graphics import run_plots
+
+    run_plots(cfg)
+
+
+def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
+    import numpy as np
+
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.graphics import (
+        plot_accuracy_by_snr,
+        plot_confusion_matrix,
+        plot_history,
+    )
+    from amcpy_tpu.preprocessing import preprocess
+    from amcpy_tpu.train import (
+        confusion_counts,
+        evaluate_by_snr,
+        save_checkpoint,
+        train,
+    )
+    from amcpy_tpu.train.evaluate import save_figure_data
+
+    cfg = _training_overrides(cfg, args)
+    cfg.paths.ensure_dirs()
+    features = {
+        m: io_mat.load_features(cfg, m)
+        for m in cfg.signals.modulations_with_noise
+    }
+    x_train, x_test, y_train, y_test, scaler = preprocess(features, cfg)
+    model, state, history, model_id = train(
+        cfg, x_train, y_train, x_test, y_test
+    )
+    save_checkpoint(cfg, model_id, state, scaler, history, cfg.training.epochs)
+    print(f"Model saved -> {cfg.paths.trained_ann}/model-{model_id}.msgpack")
+
+    acc = evaluate_by_snr(model, state, scaler, features, cfg)
+    save_figure_data(cfg, model_id, acc)
+    plot_accuracy_by_snr(acc, model_id, cfg)
+    cm = confusion_counts(
+        model, state, x_test, y_test, len(cfg.signals.modulations_with_noise)
+    )
+    plot_confusion_matrix(cm, model_id, cfg)
+    plot_history(history, model_id, cfg)
+    print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
+
+
+def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.graphics import plot_accuracy_by_snr, plot_confusion_matrix
+    from amcpy_tpu.preprocessing import build_dataset
+    from amcpy_tpu.train import (
+        confusion_counts,
+        evaluate_by_snr,
+        load_checkpoint,
+        resolve_model_id,
+    )
+    from amcpy_tpu.train.evaluate import save_figure_data
+
+    model_id = resolve_model_id(cfg, args.model_id)
+    model, state, scaler, _ = load_checkpoint(cfg, model_id)
+    features = {
+        m: io_mat.load_features(cfg, m)
+        for m in cfg.signals.modulations_with_noise
+    }
+    acc = evaluate_by_snr(model, state, scaler, features, cfg)
+    save_figure_data(cfg, model_id, acc)
+    plot_accuracy_by_snr(acc, model_id, cfg)
+
+    x, y = build_dataset(features, cfg, args.mode)
+    xs = scaler.transform(x)
+    cm = confusion_counts(
+        model, state, xs, y, len(cfg.signals.modulations_with_noise)
+    )
+    plot_confusion_matrix(cm, model_id, cfg)
+    import numpy as np
+
+    print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
+
+
+def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
+    import numpy as np
+
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.ops.quantize import quantize_model
+    from amcpy_tpu.preprocessing import build_dataset
+    from amcpy_tpu.train import load_checkpoint, resolve_model_id
+
+    model_id = resolve_model_id(cfg, args.model_id)
+    model, state, scaler, _ = load_checkpoint(cfg, model_id)
+    features = {
+        m: io_mat.load_features(cfg, m)
+        for m in cfg.signals.modulations_with_noise
+    }
+    x, _ = build_dataset(features, cfg, "test")
+    sample = scaler.transform(x).astype(np.float32)
+    _, info = quantize_model(
+        state.params,
+        state.batch_stats,
+        sample,
+        cfg,
+        range_mode=args.range_mode,
+        fold_bn=not args.no_fold_bn,
+    )
+    for k, v in info.items():
+        print(f"  {k} -> {v}")
+    print(f"Quantized weights -> {cfg.paths.arm_data / 'w_and_b.mat'}")
+
+
+def cmd_full(cfg: Config, args: argparse.Namespace) -> None:
+    cmd_extract(cfg, args)
+    cmd_plot(cfg, args)
+    cmd_train(cfg, args)
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cfg = _load_config(args)
+    cfg.paths.ensure_dirs()
+    commands = {
+        "generate": cmd_generate,
+        "extract": cmd_extract,
+        "plot": cmd_plot,
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "quantize": cmd_quantize,
+        "full": cmd_full,
+    }
+    commands[args.command](cfg, args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,105 @@
+"""Extraction runtime — the sharded, batched replacement for the
+reference's process/thread farm.
+
+The reference (``/root/reference/src/amcpy/feature_extraction.py:22-99``)
+spawns one OS process per modulation, each running 8 Python threads that
+pull single frames off a queue and call per-frame NumPy feature functions
+(96k interpreter round-trips). Here the whole dataset is one
+``(mods*snr*frames, frame_size)`` complex batch laid out in HBM, sharded
+over the mesh's ``data`` axis, and pushed through the fused extractor in a
+few large device steps. The per-modulation ``.mat`` artifacts keep the
+reference layout for MATLAB interop.
+
+Failure handling: per-modulation outputs are idempotent — a re-run skips
+modulations whose artifact already exists (``force=True`` overrides), so a
+crashed run resumes at stage granularity (the reference simply lost the
+output of a crashed process, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from amcpy_tpu.config import Config
+from amcpy_tpu.data import io_mat
+from amcpy_tpu.ops.features import (
+    NUM_FEATURES,
+    extract_features_planar,
+    to_planar,
+)
+from amcpy_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from amcpy_tpu.utils.metrics import MetricsLogger, stage_timer
+
+__all__ = ["extract_batch", "run_extraction"]
+
+
+def extract_batch(
+    frames: np.ndarray | jax.Array,
+    *,
+    mesh=None,
+    chunk_size: int = 16384,
+    normalize_scale: bool = True,
+) -> np.ndarray:
+    """Extract features for a host batch ``(B, N)`` -> ``(B, 18)`` float32.
+
+    Frames are converted to planar I/Q on the host (complex never crosses
+    the device boundary — some PJRT backends cannot transfer complex64),
+    device_put with the mesh's data-axis sharding, and processed in chunks
+    so arbitrarily large datasets stream through HBM. XLA inserts any
+    needed collectives from the sharding annotations alone.
+    """
+    frames = np.asarray(frames)
+    b = frames.shape[0]
+    out = np.empty((b, NUM_FEATURES), dtype=np.float32)
+    if mesh is None:
+        mesh = make_mesh()
+    for start in range(0, b, chunk_size):
+        chunk = to_planar(frames[start : start + chunk_size])
+        arr, orig = shard_batch(chunk, mesh)
+        feats = extract_features_planar(arr, normalize_scale=normalize_scale)
+        out[start : start + orig] = np.asarray(jax.device_get(feats))[:orig]
+    return out
+
+
+def run_extraction(
+    cfg: Config,
+    *,
+    mesh=None,
+    force: bool = False,
+    logger: MetricsLogger | None = None,
+) -> dict[str, np.ndarray]:
+    """Extract features for every modulation in the dataset.
+
+    Returns ``{modulation: (num_snr, num_frames, 18) float32}`` and writes
+    the per-modulation ``{MOD}_features.mat`` artifacts.
+    """
+    cfg.paths.ensure_dirs()
+    if logger is None:
+        logger = MetricsLogger(cfg.paths.metrics / "run.jsonl")
+    if mesh is None:
+        mesh = make_mesh(cfg)
+
+    s = cfg.signals
+    results: dict[str, np.ndarray] = {}
+    for mod in s.modulations_with_noise:
+        out_path = cfg.paths.calculated_features / f"{mod}_features.mat"
+        if out_path.exists() and not force:
+            results[mod] = io_mat.load_features(cfg, mod)
+            logger.log("extract_skip", modulation=mod, path=str(out_path))
+            continue
+        raw = io_mat.load_modulation(cfg, mod)  # (S, F, N)
+        n_snr, n_frames, n = raw.shape
+        flat = raw.reshape(n_snr * n_frames, n)
+        with stage_timer(logger, "extract", modulation=mod) as rec:
+            feats = extract_batch(
+                flat, mesh=mesh, normalize_scale=cfg.compute.normalize_scale
+            )
+            rec["frames"] = int(flat.shape[0])
+        fps = rec["frames"] / max(rec["wall_s"], 1e-9)
+        print(f"[{mod}] {rec['frames']} frames in {rec['wall_s']:.2f}s "
+              f"({fps:,.0f} frames/s)")
+        feats = feats.reshape(n_snr, n_frames, NUM_FEATURES)
+        io_mat.save_features(cfg, mod, feats)
+        results[mod] = feats
+    return results

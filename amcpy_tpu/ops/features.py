@@ -56,6 +56,8 @@ import numpy as np
 
 __all__ = [
     "extract_features",
+    "extract_features_planar",
+    "to_planar",
     "NUM_FEATURES",
     "SCALE_DEGREES",
 ]
@@ -116,41 +118,30 @@ def _wrapped_phase_diff(phase: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("normalize_scale", "compute_gmax"))
-def extract_features(
-    frames: jax.Array,
-    *,
-    normalize_scale: bool = True,
-    compute_gmax: bool = True,
-) -> jax.Array:
-    """Compute all 18 features for a batch of complex frames.
+def to_planar(frames: np.ndarray) -> np.ndarray:
+    """Host-side complex ``(..., N)`` -> planar ``(..., 2, N)`` float.
 
-    Parameters
-    ----------
-    frames
-        Complex array of shape ``(..., N)`` — any number of leading batch
-        dims, typically ``(B, N)`` with N the frame size.
-    normalize_scale
-        Normalize each frame by its max magnitude before accumulating
-        moments, then rescale outputs exactly via the features' known
-        homogeneity degrees. Improves float32 accuracy for large-amplitude
-        inputs at negligible cost; mathematically exact either way.
-    compute_gmax
-        When False, feature 1 is filled with zeros and the FFT is skipped
-        (useful for FFT-free micro-benchmarks of the moment pipeline).
-
-    Returns
-    -------
-    Array of shape ``(..., 18)`` in the frames' real dtype, feature id
-    ``j+1`` in column ``j``.
+    Planar I/Q is the canonical *device interface*: the TPU VPU has no
+    complex ALU, and on some PJRT backends complex arrays cannot even cross
+    the host<->device boundary. Row-contiguous I and Q planes put the frame
+    axis on the 128-lane dimension.
     """
-    if not jnp.issubdtype(frames.dtype, jnp.complexfloating):
-        raise TypeError(f"frames must be complex, got {frames.dtype}")
-    n = frames.shape[-1]
-    real_dtype = jnp.finfo(frames.dtype).dtype  # float32 for complex64
+    frames = np.asarray(frames)
+    return np.stack([frames.real, frames.imag], axis=-2).astype(
+        np.float64 if frames.dtype == np.complex128 else np.float32
+    )
 
-    i = jnp.real(frames)
-    q = jnp.imag(frames)
+
+def _extract_planar(
+    i: jax.Array,
+    q: jax.Array,
+    *,
+    normalize_scale: bool,
+    compute_gmax: bool,
+) -> jax.Array:
+    """Core fused extractor on planar I/Q ``(..., N)`` float arrays."""
+    n = i.shape[-1]
+    real_dtype = i.dtype
 
     # ---- instantaneous streams (scale-invariant features) ----------------
     a2_raw = i * i + q * q
@@ -181,7 +172,7 @@ def extract_features(
         qu = q * inv_s
         a2 = a2_raw * jnp.square(inv_s)
     else:
-        s = jnp.ones(frames.shape[:-1], real_dtype)
+        s = jnp.ones(i.shape[:-1], real_dtype)
         iu, qu, a2 = i, q, a2_raw
 
     # ---- mixed moments, planar complex arithmetic ------------------------
@@ -203,19 +194,50 @@ def extract_features(
     def mean(v):
         return jnp.mean(v, axis=-1)
 
-    m20 = jax.lax.complex(mean(x2r), mean(x2i))
-    m21 = mean(a2)  # real by construction (reference takes .real)
-    m40 = jax.lax.complex(mean(x4r), mean(x4i))
-    m41 = jax.lax.complex(mean(x2r * a2), mean(x2i * a2))
-    m42 = mean(a4)  # real
-    m60 = jax.lax.complex(mean(x6r), mean(x6i))
-    m61 = jax.lax.complex(mean(x4r * a2), mean(x4i * a2))
-    m62 = mean(x2r * a4)  # reference keeps only the real part
-    m63 = mean(a2 * a4)  # real
+    moments = {
+        "m20": jax.lax.complex(mean(x2r), mean(x2i)),
+        "m21": mean(a2),  # real by construction (reference takes .real)
+        "m40": jax.lax.complex(mean(x4r), mean(x4i)),
+        "m41": jax.lax.complex(mean(x2r * a2), mean(x2i * a2)),
+        "m42": mean(a4),  # real
+        "m60": jax.lax.complex(mean(x6r), mean(x6i)),
+        "m61": jax.lax.complex(mean(x4r * a2), mean(x4i * a2)),
+        "m62": mean(x2r * a4),  # reference keeps only the real part
+        "m63": mean(a2 * a4),  # real
+    }
+
+    # ---- gamma_max (XLA FFT; complex exists only inside the program) -----
+    if compute_gmax:
+        fft = jnp.fft.fft(jax.lax.complex(iu, qu), axis=-1)
+        f1 = jnp.max(
+            jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)), axis=-1
+        ) / n
+    else:
+        f1 = jnp.zeros(i.shape[:-1], real_dtype)
+
+    return _assemble_features(
+        (f1, f2, f3, f4, f5, f6, f7, f8, f9),
+        moments,
+        s if normalize_scale else None,
+    ).astype(real_dtype)
+
+
+def _assemble_features(direct, moments, scale) -> jax.Array:
+    """Cumulants from moments + exact un-normalization + stacking.
+
+    ``direct`` are features 1-9 (already in raw scale except f1 which is in
+    normalized scale when ``scale`` is given); ``moments`` are the mixed
+    moments of the (possibly normalized) signal; ``scale`` is the per-frame
+    normalization factor or None. Cumulant formulas follow the reference
+    (``features.py:116-185``).
+    """
+    f1, f2, f3, f4, f5, f6, f7, f8, f9 = direct
+    m20, m21, m40 = moments["m20"], moments["m21"], moments["m40"]
+    m41, m42, m60 = moments["m41"], moments["m42"], moments["m60"]
+    m61, m62, m63 = moments["m61"], moments["m62"], moments["m63"]
     m22 = jnp.conj(m20)
     m43 = jnp.conj(m41)
 
-    # ---- cumulants (reference formulas, features.py:116-185) -------------
     c20 = jnp.abs(m20)
     c21 = jnp.abs(m21)
     c40 = jnp.abs(m40 - 3.0 * m20 * m20)
@@ -243,19 +265,8 @@ def extract_features(
         + 18.0 * m20 * m21 * m22
     )
 
-    # ---- gamma_max (XLA FFT) ---------------------------------------------
-    if compute_gmax:
-        spec = frames * (inv_s.astype(frames.dtype) if normalize_scale else 1.0)
-        fft = jnp.fft.fft(spec, axis=-1)
-        f1 = jnp.max(
-            jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)), axis=-1
-        ) / n
-    else:
-        f1 = jnp.zeros(frames.shape[:-1], real_dtype)
-
-    # ---- exact un-normalization ------------------------------------------
-    if normalize_scale:
-        s2 = s * s
+    if scale is not None:
+        s2 = scale * scale
         s4 = s2 * s2
         s6 = s4 * s2
         f1 = f1 * s2
@@ -263,11 +274,56 @@ def extract_features(
         c40, c41, c42 = c40 * s4, c41 * s4, c42 * s4
         c60, c61, c62, c63 = c60 * s6, c61 * s6, c62 * s6, c63 * s6
 
-    feats = jnp.stack(
+    return jnp.stack(
         [
             f1, f2, f3, f4, f5, f6, f7, f8, f9,
             c20, c21, c40, c41, c42, c60, c61, c62, c63,
         ],
         axis=-1,
     )
-    return feats.astype(real_dtype)
+
+
+@partial(jax.jit, static_argnames=("normalize_scale", "compute_gmax"))
+def extract_features_planar(
+    iq: jax.Array,
+    *,
+    normalize_scale: bool = True,
+    compute_gmax: bool = True,
+) -> jax.Array:
+    """All 18 features from planar I/Q input ``(..., 2, N)`` float.
+
+    This is the canonical device entry point (see :func:`to_planar`).
+    Returns ``(..., 18)`` in the input dtype, feature id ``j+1`` at column
+    ``j``.
+    """
+    if iq.shape[-2] != 2:
+        raise ValueError(f"expected (..., 2, N) planar input, got {iq.shape}")
+    return _extract_planar(
+        iq[..., 0, :],
+        iq[..., 1, :],
+        normalize_scale=normalize_scale,
+        compute_gmax=compute_gmax,
+    )
+
+
+def extract_features(
+    frames: jax.Array | np.ndarray,
+    *,
+    normalize_scale: bool = True,
+    compute_gmax: bool = True,
+) -> jax.Array:
+    """All 18 features from complex frames ``(..., N)``.
+
+    Convenience wrapper: splits into planar I/Q *outside* the compiled
+    program (complex never crosses the device boundary) and dispatches to
+    :func:`extract_features_planar`.
+    """
+    if isinstance(frames, np.ndarray):
+        iq = to_planar(frames)
+    else:
+        if not jnp.issubdtype(frames.dtype, jnp.complexfloating):
+            raise TypeError(f"frames must be complex, got {frames.dtype}")
+        iq = jnp.stack([jnp.real(frames), jnp.imag(frames)], axis=-2)
+    return extract_features_planar(
+        iq, normalize_scale=normalize_scale, compute_gmax=compute_gmax
+    )

@@ -1,0 +1,15 @@
+from amcpy_tpu.parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "init_distributed",
+]

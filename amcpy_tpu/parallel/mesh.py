@@ -1,0 +1,127 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's parallelism was 6 OS processes x 8 threads on one CPU host
+(``/root/reference/src/amcpy/feature_extraction.py:89-97``). Here both
+collapse into SPMD over a ``jax.sharding.Mesh``:
+
+* ``data`` axis — shards the global frame batch (modulation x SNR x frame).
+  This is the workhorse axis for extraction throughput and data-parallel
+  training (gradients ``pmean`` over it).
+* ``seq`` axis (optional, size 1 by default) — shards the *sample* axis of
+  very long frames. Per-frame reductions (moments, stds, kurtosis)
+  decompose into shard-local partial sums + ``psum``; the instantaneous-
+  frequency diff needs only a 1-sample halo exchange (``ppermute``).
+
+Multi-host: call :func:`init_distributed` first (wraps
+``jax.distributed.initialize``); the same mesh code then spans all hosts,
+with XLA lowering collectives to ICI within a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from amcpy_tpu.config import Config
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "pad_to_multiple",
+    "init_distributed",
+]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX. No-op when single-process.
+
+    Args come from the environment (``JAX_COORDINATOR_ADDRESS`` etc.) when
+    not given, matching ``jax.distributed.initialize`` semantics.
+    """
+    if num_processes is None:
+        num_processes = int(os.environ.get("AMCPY_NUM_PROCESSES", "1"))
+    if num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(
+    cfg: Config | None = None,
+    *,
+    shape: Sequence[int] | None = None,
+    axis_names: Sequence[str] | None = None,
+) -> Mesh:
+    """Build the device mesh.
+
+    Default: all visible devices on the ``data`` axis and a trivial
+    ``seq`` axis of 1. ``cfg.compute.mesh_shape`` or ``shape`` overrides,
+    e.g. ``(4, 2)`` for 4-way data x 2-way sequence sharding.
+    """
+    data_axis = cfg.compute.data_axis if cfg else "data"
+    seq_axis = cfg.compute.seq_axis if cfg else "seq"
+    if axis_names is None:
+        axis_names = (data_axis, seq_axis)
+    if shape is None:
+        shape = tuple(cfg.compute.mesh_shape) if cfg else ()
+    n_dev = len(jax.devices())
+    if not shape:
+        shape = (n_dev,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n_dev:
+        raise ValueError(
+            f"mesh shape {tuple(shape)} does not cover {n_dev} devices"
+        )
+    return jax.make_mesh(tuple(shape), tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, *, seq_sharded: bool = False) -> NamedSharding:
+    """Sharding for a ``(B, N)`` frame batch: B over data, optionally N over
+    seq."""
+    data_axis, seq_axis = mesh.axis_names[0], mesh.axis_names[-1]
+    spec = (
+        PartitionSpec(data_axis, seq_axis)
+        if seq_sharded
+        else PartitionSpec(data_axis)
+    )
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the leading axis up to a multiple (repeating the last row so the
+    padding is numerically benign); returns (padded, original_size)."""
+    b = batch.shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return batch, b
+    pad = np.repeat(batch[-1:], rem, axis=0)
+    return np.concatenate([batch, pad], axis=0), b
+
+
+def shard_batch(
+    batch: np.ndarray, mesh: Mesh, *, seq_sharded: bool = False
+) -> tuple[jax.Array, int]:
+    """Pad + device_put a host batch with the canonical sharding.
+
+    Returns the sharded device array and the original (unpadded) size.
+    """
+    n_data = mesh.shape[mesh.axis_names[0]]
+    padded, orig = pad_to_multiple(np.asarray(batch), n_data)
+    arr = jax.device_put(padded, batch_sharding(mesh, seq_sharded=seq_sharded))
+    return arr, orig

@@ -1,0 +1,186 @@
+"""Sequence-parallel feature extraction (explicit shard_map + collectives).
+
+For frames longer than one device can (or should) hold, the sample axis is
+sharded over the mesh ``seq`` axis and the extractor runs as a shard_map
+kernel with explicit collectives — the TPU-native realization of the
+"long-context" scaling row in SURVEY.md section 5:
+
+* every per-frame reduction (moments, stds, kurtosis) becomes a
+  shard-local partial sum + ``psum`` over ``seq``;
+* the instantaneous-frequency first difference needs exactly ONE boundary
+  sample from the next shard — a 1-hop ``ppermute`` halo exchange (the
+  overlap-save pattern degenerated to halo=1);
+* phase unwrap never materializes: wrapped first differences are computed
+  per shard, so no sequential dependency crosses shard boundaries;
+* only gamma_max genuinely needs the whole frame (global FFT); the frame
+  is re-assembled per shard with a tiled ``all_gather`` over ``seq``.
+
+Numerics are identical to the batched extractor (same assembly helper).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from amcpy_tpu.ops.features import NUM_FEATURES, _assemble_features
+
+__all__ = ["extract_features_sp"]
+
+_PI = np.pi
+_TWO_PI = 2.0 * np.pi
+
+
+def _wrap(d: jax.Array) -> jax.Array:
+    w = jnp.mod(d + _PI, _TWO_PI) - _PI
+    return jnp.where((w == -_PI) & (d > 0), _PI, w)
+
+
+def extract_features_sp(
+    iq: jax.Array,
+    mesh: Mesh,
+    *,
+    data_axis: str | None = None,
+    seq_axis: str | None = None,
+    normalize_scale: bool = True,
+) -> jax.Array:
+    """Extract all 18 features from ``(B, 2, N)`` planar frames whose
+    sample axis is sharded over the mesh's ``seq`` axis.
+
+    Returns ``(B, 18)`` sharded over ``data`` only.
+    """
+    data_axis = data_axis or mesh.axis_names[0]
+    seq_axis = seq_axis or mesh.axis_names[-1]
+    n_seq = mesh.shape[seq_axis]
+    n_total = iq.shape[-1]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(data_axis, None, seq_axis),
+        out_specs=P(data_axis),
+        # outputs ARE replicated over seq (every stat ends in a psum/pmax/
+        # all_gather) but the varying-manual-axes inference can't prove it
+        # through the axis_index-dependent halo mask
+        check_vma=False,
+    )
+    def kernel(iq_local: jax.Array) -> jax.Array:
+        i = iq_local[:, 0, :]
+        q = iq_local[:, 1, :]
+        n_loc = i.shape[-1]
+        sidx = jax.lax.axis_index(seq_axis)
+
+        def gmean(v):  # global mean over the sample axis
+            return jax.lax.psum(jnp.sum(v, axis=-1), seq_axis) / n_total
+
+        def gstd1(v):  # global std over all n_total samples, ddof=1
+            m = gmean(v)
+            c = v - m[..., None]
+            return jnp.sqrt(
+                jax.lax.psum(jnp.sum(jnp.square(c), axis=-1), seq_axis)
+                / (n_total - 1)
+            )
+
+        # ---- amplitude / phase streams -------------------------------
+        a2 = i * i + q * q
+        a = jnp.sqrt(a2)
+        phase = jnp.arctan2(q, i)
+        abs_phase = jnp.abs(phase)
+
+        mean_a = gmean(a)
+        cn = a / mean_a[..., None] - 1.0
+        abs_cn = jnp.abs(cn)
+
+        # ---- instantaneous frequency with 1-sample halo exchange ------
+        d_in = phase[..., 1:] - phase[..., :-1]
+        # next shard's first column -> this shard (shard k+1 sends to k)
+        perm = [(k + 1, k) for k in range(n_seq - 1)]
+        recv_first = jax.lax.ppermute(phase[..., :1], seq_axis, perm)
+        d_bound = recv_first - phase[..., -1:]
+        w = _wrap(jnp.concatenate([d_in, d_bound], axis=-1)) / _TWO_PI
+        # boundary entry is invalid on the LAST seq shard only
+        valid_last = (sidx < n_seq - 1).astype(w.dtype)
+        mask = jnp.concatenate(
+            [jnp.ones((n_loc - 1,), w.dtype), valid_last[None]], axis=0
+        )
+        w = w * mask  # zero the invalid tail entry
+        n_freq = n_total - 1
+
+        def fgmean(v):
+            return jax.lax.psum(jnp.sum(v * mask, axis=-1), seq_axis) / n_freq
+
+        def fmoment(v, mu, p):
+            c = (v - mu[..., None]) * mask
+            return jax.lax.psum(jnp.sum(c**p, axis=-1), seq_axis) / n_freq
+
+        f_mu = fgmean(w)
+        f_m2 = fmoment(w, f_mu, 2)
+        f_m4 = fmoment(w, f_mu, 4)
+        f5 = jnp.sqrt(f_m2 * n_freq / (n_freq - 1))
+        f9 = f_m4 / jnp.square(f_m2)
+
+        # ---- simple stats --------------------------------------------
+        f2 = gstd1(abs_phase)
+        f3 = gstd1(phase)
+        f4 = gstd1(abs_cn)
+        f6 = mean_a
+        f7 = jnp.sqrt(jax.lax.psum(jnp.sum(a, axis=-1), seq_axis)) / n_total
+
+        cn_mu = gmean(cn)
+        cn_c = cn - cn_mu[..., None]
+        cn_m2 = gmean(jnp.square(cn_c))
+        cn_m4 = gmean(jnp.square(jnp.square(cn_c)))
+        f8 = cn_m4 / jnp.square(cn_m2)
+
+        # ---- scale normalization -------------------------------------
+        if normalize_scale:
+            s = jax.lax.pmax(jnp.max(a, axis=-1), seq_axis)
+            s = jnp.where(s > 0, s, jnp.ones_like(s))
+            inv = (1.0 / s)[..., None]
+            iu, qu, a2n = i * inv, q * inv, a2 * jnp.square(inv)
+        else:
+            s = None
+            iu, qu, a2n = i, q, a2
+
+        # ---- moments (global means via psum) -------------------------
+        x2r = iu * iu - qu * qu
+        x2i = 2.0 * iu * qu
+        x4r = x2r * x2r - x2i * x2i
+        x4i = 2.0 * x2r * x2i
+        x6r = x4r * x2r - x4i * x2i
+        x6i = x4r * x2i + x4i * x2r
+        a4 = a2n * a2n
+        moments = {
+            "m20": jax.lax.complex(gmean(x2r), gmean(x2i)),
+            "m21": gmean(a2n),
+            "m40": jax.lax.complex(gmean(x4r), gmean(x4i)),
+            "m41": jax.lax.complex(gmean(x2r * a2n), gmean(x2i * a2n)),
+            "m42": gmean(a4),
+            "m60": jax.lax.complex(gmean(x6r), gmean(x6i)),
+            "m61": jax.lax.complex(gmean(x4r * a2n), gmean(x4i * a2n)),
+            "m62": gmean(x2r * a4),
+            "m63": gmean(a2n * a4),
+        }
+
+        # ---- gamma_max: reassemble the frame, local FFT ---------------
+        iu_full = jax.lax.all_gather(iu, seq_axis, axis=-1, tiled=True)
+        qu_full = jax.lax.all_gather(qu, seq_axis, axis=-1, tiled=True)
+        fft = jnp.fft.fft(jax.lax.complex(iu_full, qu_full), axis=-1)
+        f1 = (
+            jnp.max(
+                jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)),
+                axis=-1,
+            )
+            / n_total
+        )
+
+        return _assemble_features(
+            (f1, f2, f3, f4, f5, f6, f7, f8, f9), moments, s
+        ).astype(i.dtype)
+
+    with jax.set_mesh(mesh):
+        return jax.jit(kernel)(iq)

@@ -1,0 +1,128 @@
+"""Tests for the ARM analysis tools and legacy dataset tooling."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.arm.analysis import (
+    bin_predictions,
+    per_modulation_accuracy,
+    per_snr_counts,
+    plot_embedded_accuracy,
+)
+from amcpy_tpu.config import Config
+from amcpy_tpu.data.legacy import (
+    DEEPSIG_CLASSES,
+    frame_stream,
+    pickle_to_mat,
+    plot_time_domain,
+    read_gnuradio_stream,
+)
+
+
+def test_per_modulation_accuracy():
+    preds = {
+        "BPSK": np.array([0, 0, 0, 1]),  # 75%
+        "QPSK": np.array([1, 1, 2, 2]),  # 50%
+        "WGN": np.array([5, 5, 5, 5]),  # 100%
+    }
+    acc = per_modulation_accuracy(preds)
+    assert acc["BPSK"] == pytest.approx(75.0)
+    assert acc["QPSK"] == pytest.approx(50.0)
+    assert acc["WGN"] == pytest.approx(100.0)
+
+
+def test_per_snr_counts():
+    cfg = Config()
+    rng = np.random.default_rng(0)
+    preds = {"BPSK": rng.integers(0, 6, size=(16, 100))}
+    counts = per_snr_counts(preds, cfg)
+    assert counts.shape == (6, 16)
+    want = np.count_nonzero(preds["BPSK"] == 0, axis=-1)
+    np.testing.assert_array_equal(counts[0], want)
+    assert (counts[1:] == 0).all()
+
+
+def test_bin_predictions():
+    # reference scenario: 160 predictions, 16 bins of 10, count class 0
+    preds = np.zeros(160, dtype=int)
+    preds[10:20] = 3  # second bin all wrong
+    binned = bin_predictions(preds, n_bins=16, target=0)
+    assert binned.shape == (16,)
+    assert binned[0] == 10 and binned[1] == 0 and binned[2] == 10
+
+
+def test_plot_embedded_accuracy(tmp_path):
+    acc = np.random.default_rng(1).uniform(0, 100, size=(6, 16))
+    out = plot_embedded_accuracy(acc, out_path=tmp_path / "emb.png")
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_gnuradio_stream_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    warmup = np.zeros(2400, dtype=np.complex64)
+    payload = (
+        rng.standard_normal(5000) + 1j * rng.standard_normal(5000)
+    ).astype(np.complex64)
+    path = tmp_path / "binary_BPSK(10)"
+    np.concatenate([warmup, payload]).tofile(path)
+
+    stream = read_gnuradio_stream(path)
+    np.testing.assert_array_equal(stream, payload)
+
+    frames = frame_stream(stream, 1024)
+    assert frames.shape == (4, 1024)
+    np.testing.assert_array_equal(frames[0], payload[:1024])
+    assert frame_stream(stream, 1024, num_frames=2).shape == (2, 1024)
+
+
+def test_pickle_to_mat(tmp_path):
+    import scipy.io
+
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    pkl = tmp_path / "x.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(arr, f)
+    out = pickle_to_mat(pkl, tmp_path / "x.mat", "signal_bpsk")
+    loaded = scipy.io.loadmat(str(out))["signal_bpsk"]
+    np.testing.assert_array_equal(loaded, arr)
+
+
+def test_plot_time_domain(tmp_path):
+    rng = np.random.default_rng(3)
+    frames = (
+        rng.standard_normal((4, 256)) + 1j * rng.standard_normal((4, 256))
+    ).astype(np.complex64)
+    out = plot_time_domain(frames, tmp_path / "td.png", num_frames=2)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_deepsig_classes_table():
+    assert len(DEEPSIG_CLASSES) == 24
+    assert DEEPSIG_CLASSES[8] == "BPSK"
+    assert DEEPSIG_CLASSES[23] == "16QAM"
+
+
+def test_deepsig_loader(tmp_path):
+    """Synthetic HDF5 in the DeepSig layout: X (N, 1024, 2)."""
+    h5py = pytest.importorskip("h5py")
+    import amcpy_tpu.data.legacy as legacy
+
+    # shrink the per-mod block so the fixture file is small
+    old = legacy.DEEPSIG_FRAMES_PER_MOD
+    legacy.DEEPSIG_FRAMES_PER_MOD = 8
+    try:
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((8 * 24, 1024, 2)).astype(np.float32)
+        path = tmp_path / "deepsig.h5"
+        with h5py.File(path, "w") as f:
+            f.create_dataset("X", data=x)
+        got = legacy.load_deepsig_modulation(path, "BPSK")
+        assert got.shape == (8, 1024) and got.dtype == np.complex64
+        start = 8 * 8  # BPSK block
+        np.testing.assert_allclose(got.real, x[start : start + 8, :, 0])
+        planar = legacy.load_deepsig_modulation(path, "BPSK", as_complex=False)
+        assert planar.shape == (8, 1024, 2)
+    finally:
+        legacy.DEEPSIG_FRAMES_PER_MOD = old

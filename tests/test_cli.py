@@ -1,0 +1,74 @@
+"""End-to-end CLI pipeline test on a tiny synthetic dataset:
+generate -> extract -> plot -> train -> eval -> quantize, all through the
+public ``amc`` entry point (library surface of ``amcpy_tpu.cli.main``)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def project_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("amc_project")
+
+
+def _run(root, *argv):
+    main(["--root", str(root), *argv])
+
+
+def test_full_pipeline(project_root):
+    root = project_root
+    _run(root, "generate", "--seed", "7", "--frames", "24", "--frame-size", "128")
+    assert (root / "mat-data" / "all_modulations.mat").exists()
+
+    # config must carry the generated frame size through later stages
+    cfg_yaml = root / "cfg.yaml"
+    cfg_yaml.write_text(
+        "signals:\n  num_frames: 24\n  frame_size: 128\n"
+        "training:\n  epochs: 6\n  batch_size: 64\n"
+    )
+
+    main(["--root", str(root), "--config", str(cfg_yaml), "extract"])
+    for mod in ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM", "WGN"):
+        assert (root / "calculated-features" / f"{mod}_features.mat").exists()
+
+    main(["--root", str(root), "--config", str(cfg_yaml), "plot"])
+    assert (root / "figures" / "features" / "all_plots.html").exists()
+    assert (root / "figures" / "features" / "ft2_mean.png").exists()
+
+    main(
+        ["--root", str(root), "--config", str(cfg_yaml), "train",
+         "--epochs", "5", "--seed", "0"]
+    )
+    ckpts = list((root / "ann").glob("model-*.msgpack"))
+    assert len(ckpts) == 1
+    model_id = ckpts[0].stem.replace("model-", "")
+    meta = json.loads((root / "ann" / f"model-{model_id}.json").read_text())
+    # --epochs flag must actually reach training (reference defect 6 fixed)
+    assert len(meta["history"]["loss"]) == 5
+    assert (root / "figures" / f"cm-{model_id}.png").exists()
+    assert (root / "figures" / f"accuracy-{model_id}.png").exists()
+    assert (root / "figures" / f"history-{model_id}.png").exists()
+    assert (root / "figures" / f"{model_id}_figure_data.mat").exists()
+
+    main(["--root", str(root), "--config", str(cfg_yaml), "eval", model_id])
+
+    main(["--root", str(root), "--config", str(cfg_yaml), "quantize", model_id])
+    assert (root / "arm-data" / "w_and_b.mat").exists()
+
+    import scipy.io
+
+    acc = scipy.io.loadmat(str(root / "figures" / f"{model_id}_figure_data.mat"))[
+        "acc"
+    ]
+    assert acc.shape == (6, 16)
+    # sanity: the classifier should beat chance on high-SNR synthetic data
+    assert acc[:, -4:].mean() > 1.0 / 6.0
+
+
+def test_cli_requires_command(project_root):
+    with pytest.raises(SystemExit):
+        main(["--root", str(project_root)])

@@ -1,0 +1,110 @@
+"""Integration tests: synthetic dataset -> sharded extraction -> artifacts.
+
+Runs on the 8-virtual-device CPU mesh (conftest), exercising the same
+sharding path the TPU uses.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from amcpy_tpu.config import Config
+from amcpy_tpu.data import io_mat, synth
+from amcpy_tpu.extraction import extract_batch, run_extraction
+from amcpy_tpu.parallel.mesh import make_mesh
+
+from .oracle import features_batch, term_scales
+
+
+@pytest.fixture()
+def tiny_cfg(tmp_path):
+    return Config().replace(
+        paths={"root": str(tmp_path)},
+        signals={"frame_size": 128, "num_frames": 6},
+    )
+
+
+def test_generate_dataset_shapes(tiny_cfg):
+    data = synth.generate_dataset(tiny_cfg, seed=3)
+    assert set(data) == {
+        "signal_bpsk",
+        "signal_qpsk",
+        "signal_8psk",
+        "signal_qam16",
+        "signal_qam64",
+        "signal_noise",
+    }
+    for arr in data.values():
+        assert arr.shape == (16, 6, 128)
+        assert arr.dtype == np.complex64
+
+
+def test_snr_calibration(tiny_cfg):
+    """Generated frames should hit the configured SNR: total power at SNR s
+    is 1 + 10^(-s/10)."""
+    cfg = tiny_cfg.replace(signals={"frame_size": 2048, "num_frames": 8})
+    arr = synth.generate_modulation("QPSK", cfg, seed=0)
+    power = np.mean(np.abs(arr) ** 2, axis=(1, 2))
+    want = 1.0 + 10 ** (-np.asarray(cfg.signals.snr_db) / 10)
+    np.testing.assert_allclose(power, want, rtol=0.1)
+    wgn = synth.generate_modulation("WGN", cfg, seed=0)
+    np.testing.assert_allclose(np.mean(np.abs(wgn) ** 2), 1.0, rtol=0.05)
+
+
+def test_extract_batch_sharded_matches_oracle(tiny_cfg):
+    mesh = make_mesh(tiny_cfg)
+    assert mesh.shape["data"] == 8
+    rng = np.random.default_rng(0)
+    # 13 frames: deliberately NOT a multiple of 8 to exercise padding
+    frames = (
+        rng.standard_normal((13, 256)) + 1j * rng.standard_normal((13, 256))
+    ).astype(np.complex64)
+    got = extract_batch(frames, mesh=mesh)
+    want = features_batch(frames)
+    for bi in range(13):
+        tol = 1e-4 * term_scales(frames[bi]) + 1e-5 * np.abs(want[bi])
+        assert (np.abs(got[bi] - want[bi]) <= tol).all()
+
+
+def test_run_extraction_end_to_end(tiny_cfg):
+    synth.write_dataset(tiny_cfg, seed=1)
+    results = run_extraction(tiny_cfg)
+    assert set(results) == set(tiny_cfg.signals.modulations_with_noise)
+    for mod, feats in results.items():
+        assert feats.shape == (16, 6, 18)
+        assert np.isfinite(feats).all()
+        # artifact round-trip
+        loaded = io_mat.load_features(tiny_cfg, mod)
+        np.testing.assert_array_equal(loaded, feats)
+
+    # parity on one (mod, snr) slice vs oracle
+    raw = io_mat.load_modulation(tiny_cfg, "QPSK")
+    want = features_batch(raw[10])
+    got = results["QPSK"][10]
+    for bi in range(want.shape[0]):
+        tol = 1e-4 * term_scales(raw[10][bi]) + 1e-5 * np.abs(want[bi])
+        assert (np.abs(got[bi] - want[bi]) <= tol).all()
+
+
+def test_run_extraction_idempotent(tiny_cfg):
+    synth.write_dataset(tiny_cfg, seed=1)
+    first = run_extraction(tiny_cfg)
+    # second run must skip recomputation and return identical artifacts
+    second = run_extraction(tiny_cfg)
+    for mod in first:
+        np.testing.assert_array_equal(first[mod], second[mod])
+
+
+def test_stacked_batch_layout(tiny_cfg):
+    data = synth.generate_dataset(tiny_cfg, seed=2)
+    flat = io_mat.stacked_batch(data, tiny_cfg)
+    m, s, f, n = 6, 16, 6, 128
+    assert flat.shape == (m * s * f, n)
+    # (mod, snr, frame) ordering: row of mod i, snr j, frame k
+    i, j, k = 3, 7, 2
+    row = flat[i * s * f + j * f + k]
+    mod = tiny_cfg.signals.modulations_with_noise[i]
+    np.testing.assert_array_equal(
+        row, data[tiny_cfg.signals.mat_info[mod]][j, k]
+    )

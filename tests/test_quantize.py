@@ -1,0 +1,139 @@
+"""Q-format quantization tests: format selection, round-trip error bounds,
+BN folding correctness, and quantized-vs-float agreement."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from amcpy_tpu.config import Config
+from amcpy_tpu.models.classifier import AMCClassifier
+from amcpy_tpu.ops.quantize import (
+    Q_FORMATS,
+    dense_layers,
+    dequantize_array,
+    find_best_q_format,
+    fold_batchnorm,
+    q_range,
+    quantize_array,
+    quantize_model,
+    quantized_predict,
+)
+
+
+def test_q_format_table():
+    assert Q_FORMATS[0] == "Q0.15" and Q_FORMATS[-1] == "Q6.9"
+    lo, hi = q_range("Q1.14")
+    assert lo == -1.0 and hi == pytest.approx(1.0 - 2**-14)
+
+
+@pytest.mark.parametrize(
+    "lo,hi,expect",
+    [
+        (-0.3, 0.4, "Q0.15"),
+        (-1.0, 0.9, "Q1.14"),
+        (-3.5, 2.0, "Q3.12"),
+        (-100.0, 100.0, "Q6.9"),  # fallback
+    ],
+)
+def test_find_best_q_format(lo, hi, expect):
+    assert find_best_q_format(lo, hi) == expect
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = rng.uniform(-0.9, 0.9, size=(64,)).astype(np.float32)
+    fmt = find_best_q_format(float(w.min()), float(w.max()))
+    deq = dequantize_array(quantize_array(w, fmt), fmt)
+    n = int(fmt.split(".")[1])
+    assert np.max(np.abs(w - deq)) <= 2 ** (-n) / 2 + 1e-9
+
+
+@pytest.fixture()
+def trained_like_state():
+    """A randomly-initialized model stands in for a trained one."""
+    model = AMCClassifier(n_classes=6, hidden_sizes=(26, 29, 30))
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 6), jnp.float32), train=False
+    )
+    # give batch stats non-trivial values
+    bs = jax.tree.map(
+        lambda v: v + 0.3 * np.abs(np.random.default_rng(1).standard_normal(v.shape)).astype(v.dtype),
+        variables["batch_stats"],
+    )
+    return model, variables["params"], bs
+
+
+def test_fold_batchnorm_equivalence(trained_like_state):
+    """Folded dense chain == model inference forward (dropout off)."""
+    model, params, batch_stats = trained_like_state
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((32, 6)).astype(np.float32)
+    want = np.asarray(
+        model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+    )
+    h = x.copy()
+    layers = fold_batchnorm(params, batch_stats)
+    for li, (k, b) in enumerate(layers):
+        h = h @ k + b
+        if li < len(layers) - 1:
+            h = np.maximum(h, 0.0)
+    np.testing.assert_allclose(h, want, rtol=1e-4, atol=1e-5)
+
+
+def test_quantize_model_artifact(tmp_path, trained_like_state):
+    model, params, batch_stats = trained_like_state
+    cfg = Config().replace(paths={"root": str(tmp_path)})
+    rng = np.random.default_rng(3)
+    sample = rng.standard_normal((100, 6)).astype(np.float32)
+    save_dict, info = quantize_model(params, batch_stats, sample, cfg)
+
+    n_params = sum(k.size for k, _ in dense_layers(params))
+    n_bias = sum(b.size for _, b in dense_layers(params))
+    assert save_dict["weights"].dtype == np.int16
+    assert save_dict["weights"].size == n_params
+    assert save_dict["biases"].size == n_bias
+    assert (cfg.paths.arm_data / "w_and_b.mat").exists()
+    for li in range(4):
+        for part in ("weights", "biases", "outputs"):
+            assert f"Layer {li + 1} {part}" in info
+    assert "Input" in info
+
+    # .mat round trip
+    import scipy.io
+
+    loaded = scipy.io.loadmat(str(cfg.paths.arm_data / "w_and_b.mat"))
+    np.testing.assert_array_equal(loaded["weights"].ravel(), save_dict["weights"])
+
+
+def test_reference_range_mode(tmp_path, trained_like_state):
+    model, params, batch_stats = trained_like_state
+    cfg = Config().replace(paths={"root": str(tmp_path)})
+    sample = np.random.default_rng(4).standard_normal((50, 6)).astype(np.float32)
+    _, info_full = quantize_model(
+        params, batch_stats, sample, cfg, range_mode="full", save=False
+    )
+    _, info_ref = quantize_model(
+        params, batch_stats, sample, cfg, range_mode="reference",
+        fold_bn=False, save=False,
+    )
+    assert set(info_full) == set(info_ref)
+
+
+def test_quantized_predict_agrees_with_float(trained_like_state):
+    model, params, batch_stats = trained_like_state
+    cfg = Config()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((256, 6)).astype(np.float32)
+    float_pred = np.asarray(
+        jnp.argmax(
+            model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            ),
+            -1,
+        )
+    )
+    q_pred = quantized_predict(params, batch_stats, x, cfg)
+    agreement = (float_pred == q_pred).mean()
+    assert agreement > 0.95, f"quantized/float agreement {agreement}"

@@ -1,0 +1,151 @@
+"""Training / checkpoint / evaluation tests on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.config import Config
+from amcpy_tpu.preprocessing import (
+    Standardizer,
+    build_dataset,
+    preprocess,
+    stratified_split,
+)
+from amcpy_tpu.train import (
+    accuracy,
+    confusion_counts,
+    evaluate_by_snr,
+    load_checkpoint,
+    resolve_model_id,
+    save_checkpoint,
+    train,
+)
+
+
+def _fake_features(cfg: Config, rng) -> dict[str, np.ndarray]:
+    """Synthetic feature artifacts with class-separable structure."""
+    s = cfg.signals
+    out = {}
+    for li, mod in enumerate(s.modulations_with_noise):
+        f = rng.standard_normal((s.num_snr, s.num_frames, 18)).astype(np.float32)
+        f += 3.0 * li  # make classes separable
+        out[mod] = f
+    return out
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return Config().replace(
+        paths={"root": str(tmp_path)},
+        signals={"num_frames": 40, "frame_size": 64},
+        training={"epochs": 8, "batch_size": 32},
+    )
+
+
+def test_standardizer_matches_sklearn():
+    from sklearn.preprocessing import StandardScaler
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 6)).astype(np.float32) * 5 + 2
+    ours = Standardizer.fit(x)
+    sk = StandardScaler().fit(x)
+    np.testing.assert_allclose(ours.mean, sk.mean_, rtol=1e-5)
+    np.testing.assert_allclose(ours.std**2, sk.var_, rtol=1e-4)
+    np.testing.assert_allclose(
+        ours.transform(x), sk.transform(x), atol=1e-4
+    )
+
+
+def test_build_dataset_layout(cfg):
+    rng = np.random.default_rng(1)
+    feats = _fake_features(cfg, rng)
+    x, y = build_dataset(feats, cfg, "training")
+    n_mods = 6
+    n_per = len(cfg.training.training_snr) * cfg.signals.num_frames
+    assert x.shape == (n_mods * n_per, cfg.features.num_used)
+    assert (np.bincount(y) == n_per).all()
+    # row (mod, snr, frame) -> check one entry maps to the right column set
+    cols = list(cfg.features.used_columns)
+    assert cols == [1, 3, 5, 7, 11, 13]  # ids (2,4,6,8,12,14) are 0-based -1
+    np.testing.assert_array_equal(
+        x[0], feats["BPSK"][cfg.training.training_snr[0], 0, cols]
+    )
+
+
+def test_reference_parity_columns_mode(cfg):
+    cfg2 = cfg.replace(features={"reference_parity_columns": True})
+    assert list(cfg2.features.used_columns) == [2, 4, 6, 8, 12, 14]
+
+
+def test_stratified_split_proportions():
+    rng = np.random.default_rng(2)
+    y = np.repeat(np.arange(6), 100)
+    x = rng.standard_normal((600, 4)).astype(np.float32)
+    xtr, xte, ytr, yte = stratified_split(x, y, 0.2, seed=42)
+    assert len(yte) == 120 and len(ytr) == 480
+    assert (np.bincount(yte) == 20).all()
+    # determinism
+    _, _, ytr2, _ = stratified_split(x, y, 0.2, seed=42)
+    np.testing.assert_array_equal(ytr, ytr2)
+
+
+def test_train_learns_and_checkpoints(cfg):
+    rng = np.random.default_rng(3)
+    feats = _fake_features(cfg, rng)
+    x_train, x_test, y_train, y_test, scaler = preprocess(feats, cfg)
+    model, state, history, model_id = train(
+        cfg, x_train, y_train, x_test, y_test
+    )
+    assert len(history["loss"]) == cfg.training.epochs
+    # separable classes: must reach high accuracy quickly
+    assert history["val_accuracy"][-1] > 0.95
+    acc = accuracy(model, state, x_test, y_test)
+    assert acc > 0.95
+
+    # checkpoint round-trip preserves behaviour exactly
+    save_checkpoint(cfg, model_id, state, scaler, history, cfg.training.epochs)
+    model2, state2, scaler2, meta = load_checkpoint(cfg, model_id)
+    assert meta["model_id"] == model_id
+    np.testing.assert_allclose(scaler2.mean, scaler.mean, rtol=1e-6)
+    acc2 = accuracy(model2, state2, x_test, y_test)
+    assert acc2 == pytest.approx(acc, abs=1e-6)
+    assert resolve_model_id(cfg, None) == model_id
+
+    # per-SNR eval: separable features => near-perfect accuracy everywhere
+    snr_acc = evaluate_by_snr(model2, state2, scaler2, feats, cfg)
+    assert snr_acc.shape == (6, 16)
+    assert snr_acc.mean() > 0.95
+
+    cm = confusion_counts(model2, state2, x_test, y_test, 6)
+    assert cm.shape == (6, 6)
+    assert np.diag(cm).mean() > 0.95
+
+
+def test_resume_midtraining(cfg):
+    rng = np.random.default_rng(4)
+    feats = _fake_features(cfg, rng)
+    x_train, x_test, y_train, y_test, scaler = preprocess(feats, cfg)
+    short = cfg.replace(training={"epochs": 2})
+    model, state, history, mid = train(short, x_train, y_train, x_test, y_test)
+    save_checkpoint(short, mid, state, scaler, history, 2)
+    _, state2, _, meta = load_checkpoint(cfg, mid)
+    # resume for the remaining epochs from the restored full state
+    model3, state3, history3, _ = train(
+        cfg,
+        x_train,
+        y_train,
+        x_test,
+        y_test,
+        initial=(state2.params, state2.batch_stats, state2.opt_state, meta["epoch"]),
+    )
+    assert len(history3["loss"]) == cfg.training.epochs - 2
+    assert history3["val_accuracy"][-1] >= history["val_accuracy"][-1] - 0.05
+
+
+@pytest.mark.parametrize("opt", ["adam", "nadam"])
+def test_other_optimizers(cfg, opt):
+    rng = np.random.default_rng(5)
+    feats = _fake_features(cfg, rng)
+    x_train, x_test, y_train, y_test, _ = preprocess(feats, cfg)
+    c = cfg.replace(training={"optimizer": opt, "epochs": 6})
+    _, _, history, _ = train(c, x_train, y_train, x_test, y_test)
+    assert history["val_accuracy"][-1] > 0.9
