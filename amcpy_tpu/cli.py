@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
              "(reference-parity layout)",
     )
 
+    sweep_p = sub.add_parser("sweep", help="Hyperparameter sweep (random search)")
+    sweep_p.add_argument("--spec", default=None,
+                         help="W&B-format sweep YAML (default: reference space)")
+    sweep_p.add_argument("--trials", type=int, default=20)
+    sweep_p.add_argument("--seed", type=int, default=0)
+
     sub.add_parser("full", help="Run full pipeline: extract -> plot -> train")
     return parser
 
@@ -227,6 +233,51 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Quantized weights -> {cfg.paths.arm_data / 'w_and_b.mat'}")
 
 
+def cmd_sweep(cfg: Config, args: argparse.Namespace) -> None:
+    import json
+
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.preprocessing import preprocess
+    from amcpy_tpu.train.sweep import load_sweep_spec, run_sweep
+
+    features = {
+        m: io_mat.load_features(cfg, m)
+        for m in cfg.signals.modulations_with_noise
+    }
+    x_train, x_test, y_train, y_test, _ = preprocess(features, cfg)
+    spec = load_sweep_spec(args.spec) if args.spec else None
+    best, _ = run_sweep(
+        cfg, x_train, y_train, x_test, y_test,
+        spec=spec, n_trials=args.trials, seed=args.seed,
+    )
+    print(f"Best trial: {json.dumps(best, indent=2)}")
+    best_yaml = cfg.paths.metrics / "sweep_best.yaml"
+    import yaml
+
+    hidden = [
+        int(best["params"].get(f"layer_size_hl{k}", d))
+        for k, d in ((1, 26), (2, 29), (3, 30))
+    ]
+    best_yaml.write_text(
+        yaml.safe_dump(
+            {
+                "training": {
+                    **{
+                        k: best["params"][k]
+                        for k in (
+                            "batch_size", "dropout", "epochs",
+                            "learning_rate", "optimizer", "activation",
+                        )
+                        if k in best["params"]
+                    },
+                    "hidden_sizes": hidden,
+                }
+            }
+        )
+    )
+    print(f"Best config -> {best_yaml} (use with: amc --config {best_yaml} train)")
+
+
 def cmd_full(cfg: Config, args: argparse.Namespace) -> None:
     cmd_extract(cfg, args)
     cmd_plot(cfg, args)
@@ -245,6 +296,7 @@ def main(argv: list[str] | None = None) -> None:
         "train": cmd_train,
         "eval": cmd_eval,
         "quantize": cmd_quantize,
+        "sweep": cmd_sweep,
         "full": cmd_full,
     }
     commands[args.command](cfg, args)

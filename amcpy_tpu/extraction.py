@@ -54,8 +54,10 @@ def extract_batch(
     out = np.empty((b, NUM_FEATURES), dtype=np.float32)
     if mesh is None:
         mesh = make_mesh()
+    from amcpy_tpu.data.native_io import planarize
+
     for start in range(0, b, chunk_size):
-        chunk = to_planar(frames[start : start + chunk_size])
+        chunk = planarize(frames[start : start + chunk_size])
         arr, orig = shard_batch(chunk, mesh)
         feats = extract_features_planar(arr, normalize_scale=normalize_scale)
         out[start : start + orig] = np.asarray(jax.device_get(feats))[:orig]

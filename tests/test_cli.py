@@ -72,3 +72,22 @@ def test_full_pipeline(project_root):
 def test_cli_requires_command(project_root):
     with pytest.raises(SystemExit):
         main(["--root", str(project_root)])
+
+
+def test_sweep_command(project_root):
+    """Runs after test_full_pipeline (module-scoped fixture keeps artifacts)."""
+    cfg_yaml = project_root / "cfg.yaml"
+    main(
+        ["--root", str(project_root), "--config", str(cfg_yaml),
+         "sweep", "--trials", "2", "--seed", "1"]
+    )
+    import json
+
+    log = (project_root / "metrics" / "sweep.jsonl").read_text().strip()
+    assert len(log.splitlines()) == 2
+    best_yaml = project_root / "metrics" / "sweep_best.yaml"
+    assert best_yaml.exists()
+    import yaml
+
+    best = yaml.safe_load(best_yaml.read_text())
+    assert "training" in best and "hidden_sizes" in best["training"]
