@@ -68,6 +68,18 @@ def build_parser() -> argparse.ArgumentParser:
              "(reference-parity layout)",
     )
 
+    cls_p = sub.add_parser(
+        "classify", help="Classify raw IQ frames with a trained model"
+    )
+    cls_p.add_argument(
+        "input", help=".mat dataset variable (mod name) or binary capture file"
+    )
+    cls_p.add_argument("--model-id", default=None)
+    cls_p.add_argument("--frame-size", type=int, default=None)
+    cls_p.add_argument(
+        "--out", default=None, help="write predictions to .mat/.npy"
+    )
+
     sweep_p = sub.add_parser("sweep", help="Hyperparameter sweep (random search)")
     sweep_p.add_argument("--spec", default=None,
                          help="W&B-format sweep YAML (default: reference space)")
@@ -233,6 +245,40 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Quantized weights -> {cfg.paths.arm_data / 'w_and_b.mat'}")
 
 
+def cmd_classify(cfg: Config, args: argparse.Namespace) -> None:
+    import numpy as np
+
+    from amcpy_tpu.serve import AMCPipeline
+
+    pipe = AMCPipeline.from_checkpoint(cfg, args.model_id)
+    path = args.input
+    if path in cfg.signals.modulations_with_noise:
+        from amcpy_tpu.data import io_mat
+
+        raw = io_mat.load_modulation(cfg, path)  # (S, F, N)
+        preds = pipe.predict(raw.reshape(-1, raw.shape[-1]))
+        preds = preds.reshape(raw.shape[0], raw.shape[1])
+        true = cfg.signals.modulations_with_noise.index(path)
+        acc = (preds == true).mean(axis=-1)
+        for si, a in enumerate(acc):
+            print(f"SNR {cfg.signals.snr_db[si]:+d} dB: {a * 100:5.1f}%")
+    else:
+        preds = pipe.classify_stream(path, frame_size=args.frame_size)
+        mods = cfg.signals.modulations_with_noise
+        counts = np.bincount(preds, minlength=len(mods))
+        for mi, mod in enumerate(mods):
+            print(f"{mod}: {counts[mi]} frames "
+                  f"({100.0 * counts[mi] / max(len(preds), 1):.1f}%)")
+    if args.out:
+        if args.out.endswith(".mat"):
+            import scipy.io
+
+            scipy.io.savemat(args.out, {"predictions": preds})
+        else:
+            np.save(args.out, preds)
+        print(f"Predictions -> {args.out}")
+
+
 def cmd_sweep(cfg: Config, args: argparse.Namespace) -> None:
     import json
 
@@ -296,6 +342,7 @@ def main(argv: list[str] | None = None) -> None:
         "train": cmd_train,
         "eval": cmd_eval,
         "quantize": cmd_quantize,
+        "classify": cmd_classify,
         "sweep": cmd_sweep,
         "full": cmd_full,
     }

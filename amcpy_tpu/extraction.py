@@ -76,15 +76,35 @@ def run_extraction(
     Returns ``{modulation: (num_snr, num_frames, 18) float32}`` and writes
     the per-modulation ``{MOD}_features.mat`` artifacts.
     """
+    import jax as _jax
+
     cfg.paths.ensure_dirs()
     if logger is None:
         logger = MetricsLogger(cfg.paths.metrics / "run.jsonl")
-    if mesh is None:
-        mesh = make_mesh(cfg)
 
+    # Multi-host: each process extracts a round-robin partition of the
+    # modulations on its OWN local devices and writes its artifacts —
+    # no host ever reads another host's raw data (the reference re-read
+    # the entire dataset in every worker process,
+    # feature_extraction.py:46-48), and no cross-host collectives are
+    # needed for this embarrassingly-parallel stage.
+    nproc = _jax.process_count()
+    pidx = _jax.process_index()
     s = cfg.signals
+    all_mods = list(s.modulations_with_noise)
+    local_mods = [m for i, m in enumerate(all_mods) if i % nproc == pidx]
+    if mesh is None:
+        if nproc > 1:
+            local = np.asarray(_jax.local_devices())
+            mesh = _jax.sharding.Mesh(
+                local.reshape(len(local), 1),
+                (cfg.compute.data_axis, cfg.compute.seq_axis),
+            )
+        else:
+            mesh = make_mesh(cfg)
+
     results: dict[str, np.ndarray] = {}
-    for mod in s.modulations_with_noise:
+    for mod in local_mods:
         out_path = cfg.paths.calculated_features / f"{mod}_features.mat"
         if out_path.exists() and not force:
             results[mod] = io_mat.load_features(cfg, mod)
@@ -104,4 +124,13 @@ def run_extraction(
         feats = feats.reshape(n_snr, n_frames, NUM_FEATURES)
         io_mat.save_features(cfg, mod, feats)
         results[mod] = feats
+
+    if nproc > 1:
+        # barrier so downstream stages see every host's artifacts
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("amcpy_extract_done")
+        for mod in all_mods:
+            if mod not in results:
+                results[mod] = io_mat.load_features(cfg, mod)
     return results

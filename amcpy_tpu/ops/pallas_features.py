@@ -33,6 +33,43 @@ _PI = np.pi
 _TWO_PI = 2.0 * np.pi
 
 
+def _atan_pos(x: jax.Array) -> jax.Array:
+    """atan for x >= 0 — Cephes-style octant reduction + degree-9 minimax
+    polynomial (float32 accurate to ~1 ulp). Mosaic has no atan2 lowering,
+    so the kernel carries its own."""
+    big = x > 2.414213562373095  # tan(3pi/8)
+    mid = x > 0.414213562373095  # tan(pi/8)
+    safe_x = jnp.where(x == 0, 1.0, x)
+    z = jnp.where(
+        big, -1.0 / safe_x, jnp.where(mid, (x - 1.0) / (x + 1.0), x)
+    )
+    y0 = jnp.where(
+        big,
+        jnp.float32(np.pi / 2),
+        jnp.where(mid, jnp.float32(np.pi / 4), 0.0),
+    )
+    t = z * z
+    p = (
+        ((8.05374449538e-2 * t - 1.38776856032e-1) * t + 1.99777106478e-1)
+        * t
+        - 3.33329491539e-1
+    ) * t * z + z
+    return y0 + p
+
+
+def _atan2(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Full four-quadrant atan2(y, x) from :func:`_atan_pos`; matches
+    ``np.angle`` conventions (angle(0+0j) = 0, angle(-r+0j) = +pi)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    denom = jnp.where(ax == 0, 1.0, ax)
+    ratio = jnp.where(ax == 0, jnp.float32(np.inf), ay / denom)
+    r = _atan_pos(jnp.where((ax == 0) & (ay == 0), 0.0, ratio))
+    r = jnp.where((ax == 0) & (ay == 0), 0.0, r)
+    ang = jnp.where(x >= 0, r, jnp.float32(np.pi) - r)
+    return jnp.where(y < 0, -ang, ang)
+
+
 def _kernel(iq_ref, out_ref, *, n: int, normalize_scale: bool):
     i = iq_ref[:, 0, :]
     q = iq_ref[:, 1, :]
@@ -40,7 +77,7 @@ def _kernel(iq_ref, out_ref, *, n: int, normalize_scale: bool):
     # ---- amplitude / phase streams --------------------------------------
     a2_raw = i * i + q * q
     a_raw = jnp.sqrt(a2_raw)
-    phase = jnp.arctan2(q, i)
+    phase = _atan2(q, i)
     abs_phase = jnp.abs(phase)
 
     mean_a = jnp.mean(a_raw, axis=-1, keepdims=True)

@@ -91,3 +91,32 @@ def test_sweep_command(project_root):
 
     best = yaml.safe_load(best_yaml.read_text())
     assert "training" in best and "hidden_sizes" in best["training"]
+
+
+def test_classify_command(project_root, capsys):
+    """Classify a dataset modulation and a raw capture via the CLI."""
+    cfg_yaml = project_root / "cfg.yaml"
+    main(["--root", str(project_root), "--config", str(cfg_yaml),
+          "classify", "BPSK"])
+    out = capsys.readouterr().out
+    assert "SNR +20 dB" in out
+
+    # raw capture file
+    import numpy as np
+    import scipy.io
+
+    raw = scipy.io.loadmat(
+        str(project_root / "mat-data" / "all_modulations.mat"),
+        variable_names=["signal_qpsk"],
+    )["signal_qpsk"]
+    stream = np.concatenate(
+        [np.zeros(2400, np.complex64), raw[-1].reshape(-1).astype(np.complex64)]
+    )
+    cap = project_root / "capture.bin"
+    stream.tofile(cap)
+    out_npy = project_root / "preds.npy"
+    main(["--root", str(project_root), "--config", str(cfg_yaml),
+          "classify", str(cap), "--frame-size", "128",
+          "--out", str(out_npy)])
+    preds = np.load(out_npy)
+    assert preds.shape == (24,)

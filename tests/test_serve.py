@@ -1,0 +1,91 @@
+"""Serving pipeline tests: end-to-end raw IQ -> label, stream classification,
+and bitwise determinism of the full chain."""
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.config import Config
+from amcpy_tpu.data import io_mat, synth
+from amcpy_tpu.extraction import run_extraction
+from amcpy_tpu.preprocessing import preprocess
+from amcpy_tpu.serve import AMCPipeline
+from amcpy_tpu.train import save_checkpoint, train
+
+
+@pytest.fixture(scope="module")
+def trained_project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_proj")
+    cfg = Config().replace(
+        paths={"root": str(root)},
+        signals={"frame_size": 256, "num_frames": 30},
+        training={"epochs": 10, "batch_size": 64},
+    )
+    synth.write_dataset(cfg, seed=5)
+    features = run_extraction(cfg)
+    x_train, x_test, y_train, y_test, scaler = preprocess(features, cfg)
+    model, state, history, model_id = train(
+        cfg, x_train, y_train, x_test, y_test
+    )
+    save_checkpoint(cfg, model_id, state, scaler, history, cfg.training.epochs)
+    return cfg, model_id
+
+
+def test_pipeline_predicts_high_snr(trained_project):
+    cfg, model_id = trained_project
+    pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    raw = io_mat.load_modulation(cfg, "BPSK")  # (16, 30, 256)
+    high_snr = raw[-3:].reshape(-1, 256)  # 16..20 dB
+    preds = pipe.predict(high_snr)
+    assert preds.shape == (90,)
+    # BPSK at high SNR should be mostly recognized
+    assert (preds == 0).mean() > 0.5
+    names = pipe.predict_names(high_snr[:5])
+    assert all(n in cfg.signals.modulations_with_noise for n in names)
+    probs = pipe.predict_proba(high_snr[:5])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_pipeline_planar_and_complex_agree(trained_project):
+    cfg, model_id = trained_project
+    pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    raw = io_mat.load_modulation(cfg, "QPSK")[10, :8]
+    from amcpy_tpu.ops.features import to_planar
+
+    np.testing.assert_array_equal(
+        pipe.predict(raw), pipe.predict(to_planar(raw))
+    )
+
+
+def test_pipeline_deterministic(trained_project):
+    """Same input -> bitwise identical logits (functional purity; the
+    race-detection analogue for this framework, SURVEY.md sec 5)."""
+    cfg, model_id = trained_project
+    pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    raw = io_mat.load_modulation(cfg, "16QAM")[8, :16]
+    a = np.asarray(pipe.logits(raw))
+    b = np.asarray(pipe.logits(raw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_classify_stream(trained_project, tmp_path):
+    cfg, model_id = trained_project
+    pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    raw = io_mat.load_modulation(cfg, "BPSK")[-1]  # (30, 256) best SNR
+    stream = np.concatenate(
+        [np.zeros(2400, np.complex64), raw.reshape(-1)]
+    )
+    path = tmp_path / "capture.bin"
+    stream.tofile(path)
+    preds = pipe.classify_stream(path, frame_size=256)
+    assert preds.shape == (30,)
+    assert (preds == 0).mean() > 0.5
+
+
+def test_extraction_deterministic(trained_project):
+    cfg, _ = trained_project
+    from amcpy_tpu.extraction import extract_batch
+
+    raw = io_mat.load_modulation(cfg, "8PSK")[5, :10]
+    a = extract_batch(raw)
+    b = extract_batch(raw)
+    np.testing.assert_array_equal(a, b)
