@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     ext_p = sub.add_parser("extract", help="Extract features from raw .mat data")
     ext_p.add_argument("--force", action="store_true",
                        help="recompute even if artifacts exist")
+    ext_p.add_argument("--profile", default=None, metavar="DIR",
+                       help="write a jax.profiler trace (XProf) to DIR")
 
     sub.add_parser("plot", help="Generate feature visualisations")
 
@@ -131,7 +133,11 @@ def cmd_generate(cfg: Config, args: argparse.Namespace) -> None:
 def cmd_extract(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.extraction import run_extraction
 
-    run_extraction(cfg, force=getattr(args, "force", False))
+    run_extraction(
+        cfg,
+        force=getattr(args, "force", False),
+        profile_dir=getattr(args, "profile", None),
+    )
     print("All feature calculations complete!")
 
 

@@ -241,6 +241,9 @@ class ComputeConfig:
     # (features are homogeneous in scale) and keeps x^6 terms well inside
     # float32 range.
     normalize_scale: bool = True
+    # gamma_max spectral kernel: "matmul" = four-step DFT on the MXU
+    # (~2x faster than XLA's FFT on TPU, bench-verified), "fft" = XLA FFT.
+    gmax_mode: str = "matmul"
 
 
 # ---------------------------------------------------------------------------

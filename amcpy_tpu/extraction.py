@@ -18,6 +18,8 @@ output of a crashed process, SURVEY.md section 5).
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import jax
 
@@ -40,6 +42,7 @@ def extract_batch(
     mesh=None,
     chunk_size: int = 16384,
     normalize_scale: bool = True,
+    gmax_mode: str = "matmul",
 ) -> np.ndarray:
     """Extract features for a host batch ``(B, N)`` -> ``(B, 18)`` float32.
 
@@ -59,7 +62,9 @@ def extract_batch(
     for start in range(0, b, chunk_size):
         chunk = planarize(frames[start : start + chunk_size])
         arr, orig = shard_batch(chunk, mesh)
-        feats = extract_features_planar(arr, normalize_scale=normalize_scale)
+        feats = extract_features_planar(
+            arr, normalize_scale=normalize_scale, gmax_mode=gmax_mode
+        )
         out[start : start + orig] = np.asarray(jax.device_get(feats))[:orig]
     return out
 
@@ -70,6 +75,7 @@ def run_extraction(
     mesh=None,
     force: bool = False,
     logger: MetricsLogger | None = None,
+    profile_dir: str | None = None,
 ) -> dict[str, np.ndarray]:
     """Extract features for every modulation in the dataset.
 
@@ -113,9 +119,17 @@ def run_extraction(
         raw = io_mat.load_modulation(cfg, mod)  # (S, F, N)
         n_snr, n_frames, n = raw.shape
         flat = raw.reshape(n_snr * n_frames, n)
-        with stage_timer(logger, "extract", modulation=mod) as rec:
+        prof = (
+            _jax.profiler.trace(profile_dir)
+            if profile_dir
+            else contextlib.nullcontext()
+        )
+        with prof, stage_timer(logger, "extract", modulation=mod) as rec:
             feats = extract_batch(
-                flat, mesh=mesh, normalize_scale=cfg.compute.normalize_scale
+                flat,
+                mesh=mesh,
+                normalize_scale=cfg.compute.normalize_scale,
+                gmax_mode=cfg.compute.gmax_mode,
             )
             rec["frames"] = int(flat.shape[0])
         fps = rec["frames"] / max(rec["wall_s"], 1e-9)

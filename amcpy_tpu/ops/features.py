@@ -138,6 +138,7 @@ def _extract_planar(
     *,
     normalize_scale: bool,
     compute_gmax: bool,
+    gmax_mode: str = "fft",
 ) -> jax.Array:
     """Core fused extractor on planar I/Q ``(..., N)`` float arrays."""
     n = i.shape[-1]
@@ -206,12 +207,14 @@ def _extract_planar(
         "m63": mean(a2 * a4),  # real
     }
 
-    # ---- gamma_max (XLA FFT; complex exists only inside the program) -----
+    # ---- gamma_max (complex exists only inside the program) --------------
     if compute_gmax:
-        fft = jnp.fft.fft(jax.lax.complex(iu, qu), axis=-1)
-        f1 = jnp.max(
-            jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)), axis=-1
-        ) / n
+        from amcpy_tpu.ops import fft as _fft
+
+        if gmax_mode == "matmul":
+            f1 = _fft.gmax_matmul(iu, qu)
+        else:
+            f1 = _fft.gmax_fft(iu, qu)
     else:
         f1 = jnp.zeros(i.shape[:-1], real_dtype)
 
@@ -283,12 +286,15 @@ def _assemble_features(direct, moments, scale) -> jax.Array:
     )
 
 
-@partial(jax.jit, static_argnames=("normalize_scale", "compute_gmax"))
+@partial(
+    jax.jit, static_argnames=("normalize_scale", "compute_gmax", "gmax_mode")
+)
 def extract_features_planar(
     iq: jax.Array,
     *,
     normalize_scale: bool = True,
     compute_gmax: bool = True,
+    gmax_mode: str = "fft",
 ) -> jax.Array:
     """All 18 features from planar I/Q input ``(..., 2, N)`` float.
 
@@ -303,6 +309,7 @@ def extract_features_planar(
         iq[..., 1, :],
         normalize_scale=normalize_scale,
         compute_gmax=compute_gmax,
+        gmax_mode=gmax_mode,
     )
 
 

@@ -52,7 +52,9 @@ class AMCPipeline:
 
         @jax.jit
         def _logits(iq, params, batch_stats, mean, std):
-            feats = extract_features_planar(iq)
+            feats = extract_features_planar(
+                iq, gmax_mode=cfg.compute.gmax_mode
+            )
             x = (feats[:, self._cols] - mean) / std
             return self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False

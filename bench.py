@@ -149,7 +149,9 @@ def measure_tpu() -> float:
     # nothing can be hoisted or CSE'd.
     def repeated(iq_in, iters):
         def body(k, acc):
-            f = extract_features_planar(iq_in + k * jnp.float32(1e-12))
+            f = extract_features_planar(
+                iq_in + k * jnp.float32(1e-12), gmax_mode="matmul"
+            )
             return acc + jnp.sum(f)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))

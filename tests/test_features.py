@@ -128,3 +128,38 @@ def test_batch_shapes_and_dtype():
     # leading batch dims preserved
     out2 = extract_features(frames.reshape(1, 3, 256))
     np.testing.assert_allclose(np.asarray(out2)[0], np.asarray(out), rtol=1e-6)
+
+
+def test_gmax_matmul_matches_fft():
+    """Four-step MXU DFT == XLA FFT == float64 oracle for gamma_max."""
+    from amcpy_tpu.ops.fft import best_factorization, gmax_fft, gmax_matmul
+
+    assert best_factorization(2048) == (32, 64)
+    assert best_factorization(1024) == (32, 32)
+    assert best_factorization(17) is None
+
+    rng = np.random.default_rng(7)
+    for n in (256, 1024, 2048):
+        frames = (
+            rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+        ).astype(np.complex64)
+        i = frames.real.copy()
+        q = frames.imag.copy()
+        a = np.asarray(gmax_fft(i, q))
+        b = np.asarray(gmax_matmul(i, q))
+        want = np.max(np.abs(np.fft.fft(frames.astype(np.complex128))) ** 2, -1) / n
+        np.testing.assert_allclose(a, want, rtol=2e-4)
+        np.testing.assert_allclose(b, want, rtol=2e-4)
+
+
+def test_extractor_gmax_modes_agree():
+    rng = np.random.default_rng(8)
+    frames = (
+        rng.standard_normal((4, 512)) + 1j * rng.standard_normal((4, 512))
+    ).astype(np.complex64)
+    a = np.asarray(extract_features(frames))
+    from amcpy_tpu.ops.features import extract_features_planar, to_planar
+
+    b = np.asarray(extract_features_planar(to_planar(frames), gmax_mode="matmul"))
+    np.testing.assert_allclose(b[:, 0], a[:, 0], rtol=2e-4)
+    np.testing.assert_array_equal(b[:, 1:], a[:, 1:])
