@@ -336,7 +336,28 @@ def cmd_full(cfg: Config, args: argparse.Namespace) -> None:
     cmd_train(cfg, args)
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: makes repeated CLI invocations skip
+    recompilation (harmless no-op where unsupported)."""
+    import os
+
+    if os.environ.get("AMCPY_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/amcpy_jax"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass
+
+
 def main(argv: list[str] | None = None) -> None:
+    _enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     cfg = _load_config(args)

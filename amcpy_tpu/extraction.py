@@ -113,9 +113,17 @@ def run_extraction(
     for mod in local_mods:
         out_path = cfg.paths.calculated_features / f"{mod}_features.mat"
         if out_path.exists() and not force:
-            results[mod] = io_mat.load_features(cfg, mod)
-            logger.log("extract_skip", modulation=mod, path=str(out_path))
-            continue
+            try:
+                results[mod] = io_mat.load_features(cfg, mod)
+                logger.log("extract_skip", modulation=mod, path=str(out_path))
+                continue
+            except Exception as exc:  # corrupt artifact: recompute
+                logger.log(
+                    "extract_corrupt_artifact",
+                    modulation=mod,
+                    error=repr(exc),
+                )
+                print(f"[{mod}] corrupt artifact, recomputing: {exc}")
         raw = io_mat.load_modulation(cfg, mod)  # (S, F, N)
         n_snr, n_frames, n = raw.shape
         flat = raw.reshape(n_snr * n_frames, n)

@@ -81,7 +81,7 @@ def plot_means(
         )
         ax.legend()
         p = out_dir / f"ft{cfg.features.used[n]}_mean.png"
-        fig.savefig(p, bbox_inches="tight")
+        fig.savefig(p, bbox_inches="tight", dpi=300)
         plt.close(fig)
         paths.append(p)
     return paths
@@ -109,7 +109,7 @@ def plot_errorbars(
         )
         ax.legend()
         p = out_dir / f"ft{cfg.features.used[n]}_err.png"
-        fig.savefig(p, bbox_inches="tight")
+        fig.savefig(p, bbox_inches="tight", dpi=300)
         plt.close(fig)
         paths.append(p)
     return paths
@@ -211,7 +211,7 @@ def plot_accuracy_by_snr(acc: np.ndarray, model_id: str, cfg: Config) -> Path:
     ax.set_xticks(x, ticks)
     ax.legend(loc="best")
     p = cfg.paths.figures / f"accuracy-{model_id}.png"
-    fig.savefig(p, bbox_inches="tight")
+    fig.savefig(p, bbox_inches="tight", dpi=300)
     plt.close(fig)
     return p
 
@@ -240,7 +240,7 @@ def plot_confusion_matrix(cm: np.ndarray, model_id: str, cfg: Config) -> Path:
     ax.set_xlabel("Predicted label")
     ax.set_title("Confusion Matrix")
     p = cfg.paths.figures / f"cm-{model_id}.png"
-    fig.savefig(p, bbox_inches="tight")
+    fig.savefig(p, bbox_inches="tight", dpi=300)
     plt.close(fig)
     return p
 

@@ -69,6 +69,7 @@ def _epoch_fn(
     batch_size: int,
     n_shards: int,
     data_axis: str,
+    mesh,
 ):
     """Build the jitted one-dispatch epoch: shard-local permute, scan
     minibatch steps, then evaluate the full test set.
@@ -116,8 +117,17 @@ def _epoch_fn(
         n, f = x_train.shape
         local = n // n_shards
         bs_local = batch_size // n_shards
-        xg = x_train.reshape(n_shards, local, f)
-        yg = y_train.reshape(n_shards, local)
+        # pin the shard axis explicitly: XLA's propagation may otherwise
+        # leave the data axis on the (divisible) local dim, making the
+        # downstream per-shard gather ambiguous (seen on 1-device meshes)
+        xg = jax.sharding.reshard(
+            x_train.reshape(n_shards, local, f),
+            NamedSharding(mesh, P(data_axis, None, None)),
+        )
+        yg = jax.sharding.reshard(
+            y_train.reshape(n_shards, local),
+            NamedSharding(mesh, P(data_axis, None)),
+        )
         keys = jax.random.split(perm_key, n_shards)
         perml = jax.vmap(lambda k: jax.random.permutation(k, local))(keys)
         # wrap so every epoch covers >= the full dataset with static shapes
@@ -230,7 +240,9 @@ def train(
 
     n_batches = max(n // batch_size, 1)
     epoch = jax.jit(
-        _epoch_fn(model, tx, n_batches, batch_size, n_shards, data_axis),
+        _epoch_fn(
+            model, tx, n_batches, batch_size, n_shards, data_axis, mesh
+        ),
         donate_argnums=(0,),
     )
 

@@ -179,6 +179,14 @@ def measure_tpu() -> float:
 
 
 def main() -> None:
+    try:
+        import jax
+
+        path = os.path.expanduser("~/.cache/amcpy_jax")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:
+        pass
     baseline = measure_cpu_baseline()
     fps = measure_tpu()
     print(

@@ -108,3 +108,13 @@ def test_stacked_batch_layout(tiny_cfg):
     np.testing.assert_array_equal(
         row, data[tiny_cfg.signals.mat_info[mod]][j, k]
     )
+
+
+def test_run_extraction_recovers_corrupt_artifact(tiny_cfg):
+    synth.write_dataset(tiny_cfg, seed=1)
+    first = run_extraction(tiny_cfg)
+    # corrupt one artifact; a re-run must detect and recompute it
+    bad = tiny_cfg.paths.calculated_features / "QPSK_features.mat"
+    bad.write_bytes(b"not a mat file")
+    second = run_extraction(tiny_cfg)
+    np.testing.assert_array_equal(second["QPSK"], first["QPSK"])
