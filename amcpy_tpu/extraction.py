@@ -25,12 +25,8 @@ import jax
 
 from amcpy_tpu.config import Config
 from amcpy_tpu.data import io_mat
-from amcpy_tpu.ops.features import (
-    NUM_FEATURES,
-    extract_features_planar,
-    to_planar,
-)
-from amcpy_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from amcpy_tpu.ops.features import NUM_FEATURES, extract_features_planar
+from amcpy_tpu.parallel.mesh import make_mesh, shard_batch
 from amcpy_tpu.utils.metrics import MetricsLogger, stage_timer
 
 __all__ = ["extract_batch", "run_extraction"]

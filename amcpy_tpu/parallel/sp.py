@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from amcpy_tpu.ops.features import NUM_FEATURES, _assemble_features
+from amcpy_tpu.ops.features import _assemble_features
 
 __all__ = ["extract_features_sp"]
 

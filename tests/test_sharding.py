@@ -8,7 +8,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from amcpy_tpu.config import Config
-from amcpy_tpu.ops.features import extract_features_planar, to_planar
+from amcpy_tpu.ops.features import to_planar
 from amcpy_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
