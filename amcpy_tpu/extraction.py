@@ -36,7 +36,7 @@ def extract_batch(
     frames: np.ndarray | jax.Array,
     *,
     mesh=None,
-    chunk_size: int = 16384,
+    chunk_size: int | None = None,
     normalize_scale: bool = True,
     gmax_mode: str = "matmul",
 ) -> np.ndarray:
@@ -50,6 +50,11 @@ def extract_batch(
     """
     frames = np.asarray(frames)
     b = frames.shape[0]
+    if chunk_size is None:
+        # ~8M samples per device step: larger chunks make XLA spill the
+        # (chunk, N)-sized temporaries to HBM and halve throughput
+        # (bench-verified: 9.8 vs 4.0 Gsamples/s at N=2048)
+        chunk_size = max(256, (1 << 23) // max(frames.shape[-1], 1))
     out = np.empty((b, NUM_FEATURES), dtype=np.float32)
     if mesh is None:
         mesh = make_mesh()
