@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     train_p.add_argument("--activation", default=None)
     train_p.add_argument("--seed", type=int, default=None)
+    train_p.add_argument(
+        "--resume", default=None, metavar="MODEL_ID",
+        help="resume mid-training from a checkpoint (params + optimizer "
+             "state + epoch counter)",
+    )
 
     eval_p = sub.add_parser("eval", help="Evaluate a trained model")
     eval_p.add_argument("model_id", nargs="?", default=None)
@@ -172,8 +177,21 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
         for m in cfg.signals.modulations_with_noise
     }
     x_train, x_test, y_train, y_test, scaler = preprocess(features, cfg)
+    initial = None
+    if getattr(args, "resume", None):
+        from amcpy_tpu.train import load_checkpoint
+
+        _, prev, prev_scaler, meta = load_checkpoint(cfg, args.resume)
+        # same feature artifacts => refit standardizer is identical; keep
+        # the checkpoint's copy for the saved model regardless
+        scaler = prev_scaler
+        initial = (
+            prev.params, prev.batch_stats, prev.opt_state,
+            int(meta.get("epoch") or 0),
+        )
+        print(f"Resuming from {args.resume} at epoch {initial[3]}")
     model, state, history, model_id = train(
-        cfg, x_train, y_train, x_test, y_test
+        cfg, x_train, y_train, x_test, y_test, initial=initial
     )
     save_checkpoint(cfg, model_id, state, scaler, history, cfg.training.epochs)
     print(f"Model saved -> {cfg.paths.trained_ann}/model-{model_id}.msgpack")

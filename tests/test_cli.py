@@ -120,3 +120,20 @@ def test_classify_command(project_root, capsys):
           "--out", str(out_npy)])
     preds = np.load(out_npy)
     assert preds.shape == (24,)
+
+
+def test_train_resume_command(project_root):
+    cfg_yaml = project_root / "cfg.yaml"
+    ckpts_before = set((project_root / "ann").glob("model-*.msgpack"))
+    first = sorted(ckpts_before)[0].stem.replace("model-", "")
+    main(["--root", str(project_root), "--config", str(cfg_yaml),
+          "train", "--epochs", "7", "--resume", first])
+    import json
+
+    newest = max(
+        (project_root / "ann").glob("model-*.json"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    meta = json.loads(newest.read_text())
+    # resumed from epoch 5 -> 2 more epochs recorded
+    assert len(meta["history"]["loss"]) == 2
