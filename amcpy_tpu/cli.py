@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="recompute even if artifacts exist")
     ext_p.add_argument("--profile", default=None, metavar="DIR",
                        help="write a jax.profiler trace (XProf) to DIR")
+    ext_p.add_argument(
+        "--from-synthetic", type=int, default=None, metavar="SEED",
+        help="synthesize frames ON DEVICE and extract in one pass "
+             "(no raw-IQ host round trip; no mat-data needed)",
+    )
 
     sub.add_parser("plot", help="Generate feature visualisations")
 
@@ -136,13 +141,16 @@ def cmd_generate(cfg: Config, args: argparse.Namespace) -> None:
 
 
 def cmd_extract(cfg: Config, args: argparse.Namespace) -> None:
-    from amcpy_tpu.extraction import run_extraction
+    from amcpy_tpu.extraction import run_extraction, run_extraction_synthetic
 
-    run_extraction(
-        cfg,
-        force=getattr(args, "force", False),
-        profile_dir=getattr(args, "profile", None),
-    )
+    if getattr(args, "from_synthetic", None) is not None:
+        run_extraction_synthetic(cfg, seed=args.from_synthetic)
+    else:
+        run_extraction(
+            cfg,
+            force=getattr(args, "force", False),
+            profile_dir=getattr(args, "profile", None),
+        )
     print("All feature calculations complete!")
 
 

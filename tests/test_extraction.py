@@ -118,3 +118,17 @@ def test_run_extraction_recovers_corrupt_artifact(tiny_cfg):
     bad.write_bytes(b"not a mat file")
     second = run_extraction(tiny_cfg)
     np.testing.assert_array_equal(second["QPSK"], first["QPSK"])
+
+
+def test_run_extraction_synthetic_matches_host_path(tiny_cfg):
+    """On-device generate->extract == host generate + extract (same seed)."""
+    from amcpy_tpu.extraction import run_extraction_synthetic
+
+    synth.write_dataset(tiny_cfg, seed=9)
+    host = run_extraction(tiny_cfg, force=True)
+    dev = run_extraction_synthetic(tiny_cfg, seed=9)
+    for mod in host:
+        assert dev[mod].shape == host[mod].shape
+        np.testing.assert_allclose(
+            dev[mod], host[mod], rtol=2e-3, atol=1e-5
+        )
