@@ -37,15 +37,24 @@ def gmax_fft(i: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def best_factorization(n: int) -> tuple[int, int] | None:
-    """N1 x N2 = n minimizing N1 + N2 (MAC count ~ N (N1+N2)), both
-    factors MXU-friendly (>= 8). None when n has no such factorization."""
-    best: tuple[int, int] | None = None
+    """Pick N1 x N2 = n for the two matmul stages.
+
+    Bench-verified policy (TPU v5e, N=2048): a SMALL first factor with a
+    large second factor wins — (8, 256) at 0.40 ms beats the
+    MAC-count-minimizing (32, 64) at 0.435 ms and is more accurate — the
+    long N2 axis keeps the second matmul's lane dimension wide. N2 is
+    capped at 512 so the DFT table stays ~4 MB. None when n has no
+    factorization with both factors >= 8.
+    """
+    start = max(8, -(-n // 512))  # smallest n1 with n2 = n/n1 <= 512
+    for n1 in range(start, int(np.sqrt(n)) + 1):
+        if n % n1 == 0 and n // n1 >= 8:
+            return (n1, n // n1)
+    # fall back: any factorization with both factors >= 8
     for n1 in range(8, int(np.sqrt(n)) + 1):
         if n % n1 == 0 and n // n1 >= 8:
-            n2 = n // n1
-            if best is None or n1 + n2 < best[0] + best[1]:
-                best = (n1, n2)
-    return best
+            return (n1, n // n1)
+    return None
 
 
 @lru_cache(maxsize=16)

@@ -134,8 +134,10 @@ def test_gmax_matmul_matches_fft():
     """Four-step MXU DFT == XLA FFT == float64 oracle for gamma_max."""
     from amcpy_tpu.ops.fft import best_factorization, gmax_fft, gmax_matmul
 
-    assert best_factorization(2048) == (32, 64)
-    assert best_factorization(1024) == (32, 32)
+    assert best_factorization(2048) == (8, 256)
+    assert best_factorization(1024) == (8, 128)
+    n1, n2 = best_factorization(65536)
+    assert n1 * n2 == 65536 and n2 <= 512
     assert best_factorization(17) is None
 
     rng = np.random.default_rng(7)
