@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--config", default=None, help="YAML config file")
     sub = parser.add_subparsers(dest="command", required=True)
 
+    sub.add_parser("info", help="Show device/backend/config diagnostics")
+
     gen_p = sub.add_parser("generate", help="Generate a synthetic IQ dataset")
     gen_p.add_argument("--seed", type=int, default=0)
     gen_p.add_argument("--frames", type=int, default=None)
@@ -126,6 +128,38 @@ def _training_overrides(cfg: Config, args: argparse.Namespace) -> Config:
     return cfg.replace(training=over) if over else cfg
 
 
+def cmd_info(cfg: Config, args: argparse.Namespace) -> None:
+    import jax
+
+    import amcpy_tpu
+    from amcpy_tpu.data.native_io import available
+
+    print(f"amcpy-tpu {amcpy_tpu.__version__}")
+    print(f"jax {jax.__version__}, backend: {jax.default_backend()}")
+    devs = jax.devices()
+    print(f"devices: {len(devs)} x {devs[0].device_kind}"
+          f" ({jax.process_count()} process(es))")
+    print(f"native amc_io: {'built' if available() else 'unavailable (NumPy fallback)'}")
+    print(f"project root: {cfg.paths.root}")
+    for name, p in [
+        ("dataset", cfg.paths.mat_data / cfg.paths.mat_filename),
+        ("features", cfg.paths.calculated_features),
+        ("checkpoints", cfg.paths.trained_ann),
+    ]:
+        if p.is_dir():
+            n = len(list(p.glob("*")))
+            print(f"{name}: {p} ({n} files)")
+        else:
+            print(f"{name}: {p} ({'present' if p.exists() else 'MISSING'})")
+
+
+def _require(path, hint: str) -> None:
+    if not path.exists():
+        raise SystemExit(
+            f"error: {path} not found — {hint}"
+        )
+
+
 def cmd_generate(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.data.synth import write_dataset
 
@@ -146,6 +180,11 @@ def cmd_extract(cfg: Config, args: argparse.Namespace) -> None:
     if getattr(args, "from_synthetic", None) is not None:
         run_extraction_synthetic(cfg, seed=args.from_synthetic)
     else:
+        _require(
+            cfg.paths.mat_data / cfg.paths.mat_filename,
+            "run `amc generate` first (or `amc extract --from-synthetic N` "
+            "for on-device synthesis)",
+        )
         run_extraction(
             cfg,
             force=getattr(args, "force", False),
@@ -180,6 +219,11 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
 
     cfg = _training_overrides(cfg, args)
     cfg.paths.ensure_dirs()
+    _require(
+        cfg.paths.calculated_features
+        / f"{cfg.signals.modulations_with_noise[0]}_features.mat",
+        "run `amc extract` first",
+    )
     features = {
         m: io_mat.load_features(cfg, m)
         for m in cfg.signals.modulations_with_noise
@@ -389,6 +433,7 @@ def main(argv: list[str] | None = None) -> None:
     cfg = _load_config(args)
     cfg.paths.ensure_dirs()
     commands = {
+        "info": cmd_info,
         "generate": cmd_generate,
         "extract": cmd_extract,
         "plot": cmd_plot,

@@ -137,3 +137,14 @@ def test_train_resume_command(project_root):
     meta = json.loads(newest.read_text())
     # resumed from epoch 5 -> 2 more epochs recorded
     assert len(meta["history"]["loss"]) == 2
+
+
+def test_info_command(project_root, capsys):
+    main(["--root", str(project_root), "info"])
+    out = capsys.readouterr().out
+    assert "amcpy-tpu" in out and "devices:" in out
+
+
+def test_extract_without_dataset_friendly_error(tmp_path):
+    with pytest.raises(SystemExit, match="amc generate"):
+        main(["--root", str(tmp_path), "extract"])
