@@ -60,13 +60,27 @@ def extract_batch(
         mesh = make_mesh()
     from amcpy_tpu.data.native_io import planarize
 
+    # Software pipeline: dispatch chunk k+1 before fetching chunk k's
+    # result — JAX dispatch is async, so host-side planarize/device_put of
+    # the next chunk overlaps the device compute of the current one.
+    pending: tuple[int, int, jax.Array] | None = None
     for start in range(0, b, chunk_size):
         chunk = planarize(frames[start : start + chunk_size])
         arr, orig = shard_batch(chunk, mesh)
         feats = extract_features_planar(
             arr, normalize_scale=normalize_scale, gmax_mode=gmax_mode
         )
-        out[start : start + orig] = np.asarray(jax.device_get(feats))[:orig]
+        if pending is not None:
+            p_start, p_orig, p_feats = pending
+            out[p_start : p_start + p_orig] = np.asarray(
+                jax.device_get(p_feats)
+            )[:p_orig]
+        pending = (start, orig, feats)
+    if pending is not None:
+        p_start, p_orig, p_feats = pending
+        out[p_start : p_start + p_orig] = np.asarray(
+            jax.device_get(p_feats)
+        )[:p_orig]
     return out
 
 
@@ -218,13 +232,24 @@ def run_extraction_synthetic(
                 (iq.shape[0], NUM_FEATURES), dtype=np.float32
             )
             chunk = max(256, (1 << 23) // s.frame_size)
+            pending = None
             for start in range(0, iq.shape[0], chunk):
                 part = extract_features_planar(
                     iq[start : start + chunk],
                     normalize_scale=cfg.compute.normalize_scale,
                     gmax_mode=cfg.compute.gmax_mode,
                 )
-                feats[start : start + part.shape[0]] = jax.device_get(part)
+                if pending is not None:
+                    p_start, p_part = pending
+                    feats[p_start : p_start + p_part.shape[0]] = (
+                        jax.device_get(p_part)
+                    )
+                pending = (start, part)
+            if pending is not None:
+                p_start, p_part = pending
+                feats[p_start : p_start + p_part.shape[0]] = jax.device_get(
+                    p_part
+                )
             rec["frames"] = int(iq.shape[0])
         fps = rec["frames"] / max(rec["wall_s"], 1e-9)
         print(
