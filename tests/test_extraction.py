@@ -67,6 +67,19 @@ def test_extract_batch_sharded_matches_oracle(tiny_cfg):
         assert (np.abs(got[bi] - want[bi]) <= tol).all()
 
 
+def test_extract_batch_chunked_pipeline_parity(tiny_cfg):
+    # the software-pipelined multi-chunk path must match one big chunk,
+    # including a final partial chunk (100 % 17 != 0)
+    mesh = make_mesh(tiny_cfg)
+    rng = np.random.default_rng(7)
+    frames = (
+        rng.standard_normal((100, 256)) + 1j * rng.standard_normal((100, 256))
+    ).astype(np.complex64)
+    chunked = extract_batch(frames, mesh=mesh, chunk_size=17)
+    whole = extract_batch(frames, mesh=mesh, chunk_size=1000)
+    np.testing.assert_array_equal(chunked, whole)
+
+
 def test_run_extraction_end_to_end(tiny_cfg):
     synth.write_dataset(tiny_cfg, seed=1)
     results = run_extraction(tiny_cfg)
