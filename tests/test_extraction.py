@@ -77,7 +77,8 @@ def test_extract_batch_chunked_pipeline_parity(tiny_cfg):
     ).astype(np.complex64)
     chunked = extract_batch(frames, mesh=mesh, chunk_size=17)
     whole = extract_batch(frames, mesh=mesh, chunk_size=1000)
-    np.testing.assert_array_equal(chunked, whole)
+    # different chunk shapes compile to different programs -> ~1 ulp drift
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-7)
 
 
 def test_run_extraction_end_to_end(tiny_cfg):
