@@ -230,6 +230,7 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
     }
     x_train, x_test, y_train, y_test, scaler = preprocess(features, cfg)
     initial = None
+    prior_history: dict[str, list[float]] = {}
     if getattr(args, "resume", None):
         from amcpy_tpu.train import load_checkpoint
 
@@ -241,10 +242,18 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
             prev.params, prev.batch_stats, prev.opt_state,
             int(meta.get("epoch") or 0),
         )
+        prior_history = meta.get("history") or {}
         print(f"Resuming from {args.resume} at epoch {initial[3]}")
     model, state, history, model_id = train(
         cfg, x_train, y_train, x_test, y_test, initial=initial
     )
+    if prior_history:
+        # the full-run record: restored epochs + new epochs, so history
+        # plots after a resume cover the whole training run
+        history = {
+            k: list(prior_history.get(k, [])) + list(v)
+            for k, v in history.items()
+        }
     save_checkpoint(cfg, model_id, state, scaler, history, cfg.training.epochs)
     print(f"Model saved -> {cfg.paths.trained_ann}/model-{model_id}.msgpack")
 

@@ -244,6 +244,11 @@ class ComputeConfig:
     # gamma_max spectral kernel: "matmul" = four-step DFT on the MXU
     # (~2x faster than XLA's FFT on TPU, bench-verified), "fft" = XLA FFT.
     gmax_mode: str = "matmul"
+    # Feature-extraction kernel: "xla" = fused XLA program (default),
+    # "pallas" = single-VMEM-pass Pallas/Mosaic kernel. Ignored when the
+    # mesh has a seq axis > 1 (the sequence-parallel shard_map kernel is
+    # used then). All three are conformance-tested against the same oracle.
+    kernel: str = "xla"
 
 
 # ---------------------------------------------------------------------------

@@ -229,7 +229,9 @@ def _kernel(iq_ref, out_ref, *, n: int, normalize_scale: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("normalize_scale", "compute_gmax", "tile_b", "interpret"),
+    static_argnames=(
+        "normalize_scale", "compute_gmax", "tile_b", "interpret", "gmax_mode"
+    ),
 )
 def extract_features_pallas(
     iq: jax.Array,
@@ -238,8 +240,10 @@ def extract_features_pallas(
     compute_gmax: bool = True,
     tile_b: int = 32,
     interpret: bool = False,
+    gmax_mode: str = "fft",
 ) -> jax.Array:
-    """All 18 features via the fused Pallas kernel (+ XLA FFT for f1).
+    """All 18 features via the fused Pallas kernel (+ XLA spectral epilogue
+    for f1 — ``gmax_mode`` picks the FFT or the four-step MXU matmul-DFT).
 
     ``iq``: (B, 2, N) planar float32. B is padded to ``tile_b`` internally.
     """

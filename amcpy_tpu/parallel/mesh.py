@@ -87,15 +87,17 @@ def make_mesh(
     return jax.make_mesh(tuple(shape), tuple(axis_names))
 
 
-def batch_sharding(mesh: Mesh, *, seq_sharded: bool = False) -> NamedSharding:
-    """Sharding for a ``(B, N)`` frame batch: B over data, optionally N over
-    seq."""
+def batch_sharding(
+    mesh: Mesh, *, seq_sharded: bool = False, ndim: int = 2
+) -> NamedSharding:
+    """Sharding for a frame batch: leading (batch) dim over ``data`` and,
+    optionally, the trailing (sample) dim over ``seq``. Works for both
+    ``(B, N)`` complex and ``(B, 2, N)`` planar layouts via ``ndim``."""
     data_axis, seq_axis = mesh.axis_names[0], mesh.axis_names[-1]
-    spec = (
-        PartitionSpec(data_axis, seq_axis)
-        if seq_sharded
-        else PartitionSpec(data_axis)
-    )
+    if seq_sharded:
+        spec = PartitionSpec(data_axis, *([None] * (ndim - 2)), seq_axis)
+    else:
+        spec = PartitionSpec(data_axis)
     return NamedSharding(mesh, spec)
 
 
@@ -123,5 +125,8 @@ def shard_batch(
     """
     n_data = mesh.shape[mesh.axis_names[0]]
     padded, orig = pad_to_multiple(np.asarray(batch), n_data)
-    arr = jax.device_put(padded, batch_sharding(mesh, seq_sharded=seq_sharded))
+    arr = jax.device_put(
+        padded,
+        batch_sharding(mesh, seq_sharded=seq_sharded, ndim=padded.ndim),
+    )
     return arr, orig

@@ -47,6 +47,7 @@ def extract_features_sp(
     data_axis: str | None = None,
     seq_axis: str | None = None,
     normalize_scale: bool = True,
+    gmax_mode: str = "fft",
 ) -> jax.Array:
     """Extract all 18 features from ``(B, 2, N)`` planar frames whose
     sample axis is sharded over the mesh's ``seq`` axis.
@@ -166,17 +167,15 @@ def extract_features_sp(
             "m63": gmean(a2n * a4),
         }
 
-        # ---- gamma_max: reassemble the frame, local FFT ---------------
+        # ---- gamma_max: reassemble the frame, local spectral kernel ----
+        from amcpy_tpu.ops import fft as _fft
+
         iu_full = jax.lax.all_gather(iu, seq_axis, axis=-1, tiled=True)
         qu_full = jax.lax.all_gather(qu, seq_axis, axis=-1, tiled=True)
-        fft = jnp.fft.fft(jax.lax.complex(iu_full, qu_full), axis=-1)
-        f1 = (
-            jnp.max(
-                jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)),
-                axis=-1,
-            )
-            / n_total
-        )
+        if gmax_mode == "matmul":
+            f1 = _fft.gmax_matmul(iu_full, qu_full)
+        else:
+            f1 = _fft.gmax_fft(iu_full, qu_full)
 
         return _assemble_features(
             (f1, f2, f3, f4, f5, f6, f7, f8, f9), moments, s

@@ -11,6 +11,10 @@ single jitted device program for production/streaming use:
     pipe.classify_stream("capture.bin")      # GNU Radio complex64 capture
 
 One device dispatch per batch; frames never round-trip between stages.
+The jitted program is module-level (keyed on the model architecture and
+kernel statics), so multiple pipeline instances share one compile cache,
+and ``classify_stream`` reads captures in bounded chunks — multi-GB files
+never materialize in host memory.
 """
 
 from __future__ import annotations
@@ -28,6 +32,40 @@ from amcpy_tpu.ops.features import extract_features_planar
 from amcpy_tpu.preprocessing import Standardizer
 
 __all__ = ["AMCPipeline"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "kernel", "gmax_mode", "interpret"),
+)
+def _pipeline_logits(
+    model: AMCClassifier,
+    iq: jax.Array,
+    params,
+    batch_stats,
+    cols: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    *,
+    kernel: str = "xla",
+    gmax_mode: str = "matmul",
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused extract -> standardize -> classify. Module-level so every
+    :class:`AMCPipeline` instance with the same architecture/kernel statics
+    shares one compiled program (no per-instance recompiles)."""
+    if kernel == "pallas":
+        from amcpy_tpu.ops.pallas_features import extract_features_pallas
+
+        feats = extract_features_pallas(
+            iq, gmax_mode=gmax_mode, interpret=interpret
+        )
+    else:
+        feats = extract_features_planar(iq, gmax_mode=gmax_mode)
+    x = (feats[:, cols] - mean) / std
+    return model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False
+    )
 
 
 class AMCPipeline:
@@ -49,18 +87,10 @@ class AMCPipeline:
         self._cols = jnp.asarray(list(cfg.features.used_columns))
         self._mean = jnp.asarray(scaler.mean, jnp.float32)
         self._std = jnp.asarray(scaler.std, jnp.float32)
-
-        @jax.jit
-        def _logits(iq, params, batch_stats, mean, std):
-            feats = extract_features_planar(
-                iq, gmax_mode=cfg.compute.gmax_mode
-            )
-            x = (feats[:, self._cols] - mean) / std
-            return self.model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-
-        self._logits_fn = _logits
+        self._interpret = (
+            cfg.compute.kernel == "pallas"
+            and jax.default_backend() == "cpu"  # Mosaic is TPU-only
+        )
 
     @classmethod
     def from_checkpoint(
@@ -89,8 +119,12 @@ class AMCPipeline:
 
     def logits(self, frames: np.ndarray) -> jax.Array:
         iq = self._to_device_planar(frames)
-        return self._logits_fn(
-            iq, self.params, self.batch_stats, self._mean, self._std
+        return _pipeline_logits(
+            self.model, iq, self.params, self.batch_stats,
+            self._cols, self._mean, self._std,
+            kernel=self.cfg.compute.kernel,
+            gmax_mode=self.cfg.compute.gmax_mode,
+            interpret=self._interpret,
         )
 
     def predict(self, frames: np.ndarray) -> np.ndarray:
@@ -115,13 +149,36 @@ class AMCPipeline:
         batch_size: int = 4096,
     ) -> np.ndarray:
         """Classify a GNU Radio complex64 capture file; returns class ids
-        per frame (native framer when available)."""
+        per frame.
+
+        Bounded memory: frames are read (native framer when available) and
+        classified in ``batch_size`` chunks — only one chunk of planar IQ
+        is ever resident on the host, so multi-GB captures stream through.
+        JAX's async dispatch overlaps the next chunk's file read with the
+        current chunk's device compute.
+        """
         from amcpy_tpu.data.native_io import read_stream_frames
 
         frame_size = frame_size or self.cfg.signals.frame_size
-        planar = read_stream_frames(path, frame_size, skip=skip)
-        out = np.empty(planar.shape[0], dtype=np.int64)
-        for start in range(0, planar.shape[0], batch_size):
-            chunk = planar[start : start + batch_size]
-            out[start : start + len(chunk)] = self.predict(chunk)
+        total = max(
+            (Path(path).stat().st_size // 8 - skip) // frame_size, 0
+        )
+        out = np.empty(total, dtype=np.int64)
+        pending: tuple[int, jax.Array] | None = None
+        for start in range(0, total, batch_size):
+            count = min(batch_size, total - start)
+            chunk = read_stream_frames(
+                path, frame_size,
+                skip=skip + start * frame_size, max_frames=count,
+            )
+            logit = self.logits(chunk)
+            if pending is not None:
+                p_start, p_logit = pending
+                pred = np.asarray(jnp.argmax(p_logit, axis=-1))
+                out[p_start : p_start + len(pred)] = pred
+            pending = (start, logit)
+        if pending is not None:
+            p_start, p_logit = pending
+            pred = np.asarray(jnp.argmax(p_logit, axis=-1))
+            out[p_start : p_start + len(pred)] = pred
         return out

@@ -81,6 +81,56 @@ def test_extract_batch_chunked_pipeline_parity(tiny_cfg):
     np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-7)
 
 
+def test_extract_batch_pallas_kernel_routing(tiny_cfg):
+    """kernel="pallas" must be reachable from the product path and match
+    the XLA kernel (interpret mode on CPU; compiled Mosaic on TPU)."""
+    mesh = make_mesh(tiny_cfg)
+    rng = np.random.default_rng(3)
+    frames = (
+        rng.standard_normal((24, 256)) + 1j * rng.standard_normal((24, 256))
+    ).astype(np.complex64)
+    got = extract_batch(frames, mesh=mesh, kernel="pallas")
+    want = extract_batch(frames, mesh=mesh, kernel="xla")
+    # atol covers float32 cancellation noise on the cumulants (the two
+    # kernels associate the moment arithmetic differently)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_extract_batch_seq_mesh_routing(tiny_cfg):
+    """A configured seq axis > 1 must route through the sequence-parallel
+    kernel (devices on the seq axis do real work) and match data-only."""
+    cfg = tiny_cfg.replace(compute={"mesh_shape": (4, 2)})
+    mesh = make_mesh(cfg)
+    assert mesh.shape["seq"] == 2
+    rng = np.random.default_rng(5)
+    frames = (
+        rng.standard_normal((16, 256)) + 1j * rng.standard_normal((16, 256))
+    ).astype(np.complex64)
+    got = extract_batch(frames, mesh=mesh, gmax_mode="fft")
+    want = extract_batch(frames, mesh=make_mesh(tiny_cfg), gmax_mode="fft")
+    # atol covers float32 reduction-order noise (shard-local partial sums
+    # + psum vs one flat reduction) on the cancellation-heavy cumulants
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_run_extraction_uses_configured_kernel(tiny_cfg, monkeypatch):
+    """cfg.compute.kernel must actually reach the extractor."""
+    import amcpy_tpu.extraction as ex
+
+    seen = []
+    real = ex._kernel_fn
+
+    def spy(mesh, kernel, normalize_scale, gmax_mode):
+        seen.append(kernel)
+        return real(mesh, kernel, normalize_scale, gmax_mode)
+
+    monkeypatch.setattr(ex, "_kernel_fn", spy)
+    cfg = tiny_cfg.replace(compute={"kernel": "pallas"})
+    synth.write_dataset(cfg, seed=1)
+    run_extraction(cfg)
+    assert seen and all(k == "pallas" for k in seen)
+
+
 def test_run_extraction_end_to_end(tiny_cfg):
     synth.write_dataset(tiny_cfg, seed=1)
     results = run_extraction(tiny_cfg)
