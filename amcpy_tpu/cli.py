@@ -99,11 +99,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", default=None, help="write predictions to .mat/.npy"
     )
 
-    sweep_p = sub.add_parser("sweep", help="Hyperparameter sweep (random search)")
+    sweep_p = sub.add_parser("sweep", help="Hyperparameter sweep")
     sweep_p.add_argument("--spec", default=None,
                          help="W&B-format sweep YAML (default: reference space)")
     sweep_p.add_argument("--trials", type=int, default=20)
     sweep_p.add_argument("--seed", type=int, default=0)
+    sweep_p.add_argument(
+        "--method", choices=["bayes", "random"], default="bayes",
+        help="bayes = Tree-structured Parzen Estimator (the reference "
+             "sweep.yaml method), random = uniform search",
+    )
 
     sub.add_parser("full", help="Run full pipeline: extract -> plot -> train")
     return parser
@@ -426,6 +431,7 @@ def cmd_sweep(cfg: Config, args: argparse.Namespace) -> None:
     best, _ = run_sweep(
         cfg, x_train, y_train, x_test, y_test,
         spec=spec, n_trials=args.trials, seed=args.seed,
+        method=args.method,
     )
     print(f"Best trial: {json.dumps(best, indent=2)}")
     best_yaml = cfg.paths.metrics / "sweep_best.yaml"

@@ -1,17 +1,20 @@
 """Hyperparameter sweeps — native replacement for the reference's W&B setup.
 
-The reference shipped a W&B Bayesian sweep spec (``/root/reference/
-sweep.yaml:1-47``: batch {32..196}, dropout {0.2,0.3,0.4}, epochs 5-30,
-hidden sizes 6-30, lr 5e-4..2e-3, rmsprop) plus a frozen best-run artifact
-(``config.yaml``) — but wandb was never imported by the v2 code (SURVEY.md
-sec 5). Here sweeps are first-class and dependency-free:
+The reference shipped a W&B **Bayesian** sweep spec (``/root/reference/
+sweep.yaml:1-47``: ``method: bayes``; batch {32..196}, dropout
+{0.2,0.3,0.4}, epochs 5-30, hidden sizes 6-30, lr 5e-4..2e-3, rmsprop)
+plus a frozen best-run artifact (``config.yaml``) — but wandb was never
+imported by the v2 code (SURVEY.md sec 5). Here sweeps are first-class and
+dependency-free:
 
 * :func:`load_sweep_spec` parses the same W&B sweep-YAML schema
   (``values`` lists, ``int_uniform``/``uniform`` ranges, ``categorical``).
-* :func:`run_sweep` does deterministic random search over the spec,
-  training each trial with the standard training stack, logging every
-  trial to ``metrics/sweep.jsonl``, and returning the best config —
-  which can be written back as a YAML usable with ``amc --config``.
+* :func:`run_sweep` searches the spec with ``method="bayes"`` (a
+  Tree-structured Parzen Estimator, matching the reference spec's
+  ``method: bayes`` sample efficiency) or ``method="random"``;
+  deterministic given the seed. Every trial trains with the standard
+  stack and is logged to ``metrics/sweep.jsonl`` as it completes; the
+  best config can be written back as a YAML usable with ``amc --config``.
 * If wandb happens to be installed, trials are mirrored to it (optional,
   never required).
 """
@@ -27,7 +30,13 @@ import numpy as np
 
 from amcpy_tpu.config import Config
 
-__all__ = ["load_sweep_spec", "sample_params", "run_sweep", "DEFAULT_SPEC"]
+__all__ = [
+    "load_sweep_spec",
+    "sample_params",
+    "suggest_tpe",
+    "run_sweep",
+    "DEFAULT_SPEC",
+]
 
 #: The reference sweep space (sweep.yaml:5-44) in parsed form.
 DEFAULT_SPEC: dict[str, dict[str, Any]] = {
@@ -73,6 +82,128 @@ def sample_params(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Tree-structured Parzen Estimator (the "bayes" method)
+# ---------------------------------------------------------------------------
+
+
+def _dim_domain(p: Mapping[str, Any]) -> tuple[str, Any]:
+    """Classify a spec dimension: ("cat", values) | ("num", (lo, hi, kind))
+    with kind in {"int", "float", "log"}."""
+    if "values" in p:
+        return "cat", list(p["values"])
+    dist = p.get("distribution")
+    lo, hi = float(p["min"]), float(p["max"])
+    if dist == "int_uniform":
+        return "num", (lo, hi, "int")
+    if dist in ("log_uniform", "log_uniform_values"):
+        return "num", (np.log(lo), np.log(hi), "log")
+    return "num", (lo, hi, "float")
+
+
+def _parzen_logpdf(x: float, obs: np.ndarray, lo: float, hi: float) -> float:
+    """Log density of a 1-D Parzen mixture: Gaussians at each observation
+    (bandwidth ~ range-scaled Scott's rule) + one uniform prior component
+    so unexplored regions never get zero mass."""
+    width = max(hi - lo, 1e-12)
+    bw = max(width / max(np.sqrt(len(obs)), 1.0), 1e-3 * width)
+    z = (x - obs) / bw
+    comps = np.exp(-0.5 * z * z) / (bw * np.sqrt(2 * np.pi))
+    # mixture: observations and the uniform prior in equal parts
+    pdf = (np.sum(comps) + 1.0 / width) / (len(obs) + 1)
+    return float(np.log(max(pdf, 1e-300)))
+
+
+def suggest_tpe(
+    spec: Mapping[str, Mapping[str, Any]],
+    history: list[dict[str, Any]],
+    rng: np.random.Generator,
+    *,
+    gamma: float = 0.25,
+    n_candidates: int = 32,
+    n_startup: int = 5,
+) -> dict[str, Any]:
+    """Propose the next configuration with a Tree-structured Parzen
+    Estimator (Bergstra et al. 2011, the algorithm behind W&B/hyperopt
+    ``method: bayes`` for mixed spaces).
+
+    Split observed trials into good (top ``gamma`` by metric) and bad;
+    model each parameter's density separately under both (categorical:
+    Laplace-smoothed counts, numeric: Parzen windows); sample candidates
+    from the good density and keep the one maximizing l(x)/g(x).
+    Falls back to random search during the first ``n_startup`` trials.
+    """
+    if len(history) < n_startup:
+        return sample_params(spec, rng)
+    scores = np.asarray([t["metric"] for t in history], dtype=np.float64)
+    n_good = max(1, int(np.ceil(gamma * len(history))))
+    good_set = set(np.argsort(scores)[::-1][:n_good].tolist())
+    good = [history[i]["params"] for i in sorted(good_set)]
+    bad = [
+        history[i]["params"]
+        for i in range(len(history))
+        if i not in good_set
+    ] or good  # degenerate: everything is "good"
+
+    best_cand: dict[str, Any] | None = None
+    best_score = -np.inf
+    for _ in range(n_candidates):
+        cand: dict[str, Any] = {}
+        acq = 0.0  # log l(x) - log g(x)
+        for name, p in spec.items():
+            kind, dom = _dim_domain(p)
+            if kind == "cat":
+                values = dom
+                k = len(values)
+                cg = np.array(
+                    [sum(g[name] == v for g in good) for v in values],
+                    dtype=np.float64,
+                )
+                cb = np.array(
+                    [sum(b[name] == v for b in bad) for v in values],
+                    dtype=np.float64,
+                )
+                pg = (cg + 1.0) / (cg.sum() + k)
+                pb = (cb + 1.0) / (cb.sum() + k)
+                vi = int(rng.choice(k, p=pg))
+                cand[name] = values[vi]
+                acq += float(np.log(pg[vi]) - np.log(pb[vi]))
+            else:
+                lo, hi, num_kind = dom
+
+                def to_internal(v):
+                    return np.log(v) if num_kind == "log" else float(v)
+
+                og = np.asarray([to_internal(g[name]) for g in good])
+                ob = np.asarray([to_internal(b[name]) for b in bad])
+                width = max(hi - lo, 1e-12)
+                bw = max(
+                    width / max(np.sqrt(len(og)), 1.0), 1e-3 * width
+                )
+                # draw from the good mixture (uniform prior component incl.)
+                if rng.uniform() < 1.0 / (len(og) + 1):
+                    x = rng.uniform(lo, hi)
+                else:
+                    x = float(
+                        np.clip(rng.choice(og) + bw * rng.normal(), lo, hi)
+                    )
+                if num_kind == "int":
+                    x = float(np.clip(round(x), lo, hi))
+                acq += _parzen_logpdf(x, og, lo, hi) - _parzen_logpdf(
+                    x, ob, lo, hi
+                )
+                if num_kind == "int":
+                    cand[name] = int(x)
+                elif num_kind == "log":
+                    cand[name] = float(np.exp(x))
+                else:
+                    cand[name] = float(x)
+        if acq > best_score:
+            best_cand, best_score = cand, acq
+    assert best_cand is not None
+    return best_cand
+
+
 def _apply_params(cfg: Config, params: Mapping[str, Any]) -> Config:
     """Map sweep-parameter names (reference naming) onto the config tree."""
     t: dict[str, Any] = {}
@@ -105,8 +236,11 @@ def run_sweep(
     seed: int = 0,
     metric: str = "val_accuracy",
     log_path: str | Path | None = None,
+    method: str = "bayes",
 ) -> tuple[dict[str, Any], list[dict[str, Any]]]:
-    """Random-search sweep. Returns (best_trial, all_trials).
+    """Hyperparameter sweep: ``method="bayes"`` (TPE, the default —
+    matching the reference spec's ``method: bayes``) or ``"random"``.
+    Returns (best_trial, all_trials).
 
     Each trial record: ``{"trial", "params", "metric", "history_last",
     "wall_s"}``. Trials are logged as JSONL as they complete, so an
@@ -114,6 +248,8 @@ def run_sweep(
     """
     from amcpy_tpu.train.training import train
 
+    if method not in ("bayes", "random"):
+        raise ValueError(f"unknown sweep method {method!r}")
     spec = dict(spec or DEFAULT_SPEC)
     rng = np.random.default_rng(seed)
     log_file = Path(log_path) if log_path else cfg.paths.metrics / "sweep.jsonl"
@@ -129,7 +265,10 @@ def run_sweep(
     trials: list[dict[str, Any]] = []
     best: dict[str, Any] | None = None
     for trial_idx in range(n_trials):
-        params = sample_params(spec, rng)
+        if method == "bayes":
+            params = suggest_tpe(spec, trials, rng)
+        else:
+            params = sample_params(spec, rng)
         trial_cfg = _apply_params(cfg, params)
         t0 = time.perf_counter()
         _, _, history, model_id = train(

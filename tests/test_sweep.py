@@ -68,3 +68,70 @@ def test_run_sweep_two_trials(tmp_path):
     log = (tmp_path / "metrics" / "sweep.jsonl").read_text().strip().split("\n")
     assert len(log) == 2
     assert json.loads(log[0])["trial"] == 0
+
+
+# ---------------------------------------------------------------------------
+# TPE ("bayes") method
+# ---------------------------------------------------------------------------
+
+
+def _toy_objective(p):
+    """Smooth synthetic objective over the reference sweep space, maximized
+    at lr=0.00125, hl1=24, hl2=12, dropout=0.3, epochs=25."""
+    return (
+        -np.log(p["learning_rate"] / 0.00125) ** 2
+        - ((p["layer_size_hl1"] - 24) / 24.0) ** 2
+        - ((p["layer_size_hl2"] - 12) / 24.0) ** 2
+        - 0.2 * (p["dropout"] - 0.3) ** 2
+        - ((p["epochs"] - 25) / 25.0) ** 2
+    )
+
+
+def _optimize(method, seed, n=40):
+    from amcpy_tpu.train.sweep import suggest_tpe
+
+    rng = np.random.default_rng(seed)
+    hist, best, curve = [], -np.inf, []
+    for _ in range(n):
+        if method == "bayes":
+            p = suggest_tpe(DEFAULT_SPEC, hist, rng)
+        else:
+            p = sample_params(DEFAULT_SPEC, rng)
+        m = _toy_objective(p)
+        hist.append({"params": p, "metric": m})
+        best = max(best, m)
+        curve.append(best)
+    return np.asarray(curve)
+
+
+def test_tpe_respects_spec_domains():
+    from amcpy_tpu.train.sweep import suggest_tpe
+
+    rng = np.random.default_rng(2)
+    hist = []
+    for _ in range(25):
+        p = suggest_tpe(DEFAULT_SPEC, hist, rng)
+        assert p["batch_size"] in (32, 64, 96, 128, 160, 196)
+        assert p["dropout"] in (0.2, 0.3, 0.4)
+        assert 5 <= p["epochs"] <= 30 and isinstance(p["epochs"], int)
+        assert 6 <= p["layer_size_hl1"] <= 30
+        assert 0.0005 <= p["learning_rate"] <= 0.002
+        hist.append({"params": p, "metric": _toy_objective(p)})
+
+
+def test_tpe_deterministic_given_seed():
+    a = _optimize("bayes", seed=11)
+    b = _optimize("bayes", seed=11)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_tpe_beats_random_search():
+    """VERDICT r1 item 7 'done' bar: bayes beats random search on
+    trials-to-best, measured as the mean best-so-far over seeds on a
+    seeded synthetic objective (both samplers fully deterministic)."""
+    seeds = range(8)
+    bayes = np.stack([_optimize("bayes", s) for s in seeds])
+    rand = np.stack([_optimize("random", s) for s in seeds])
+    # better mean best-so-far both mid-search and at the end
+    assert bayes[:, 19].mean() > rand[:, 19].mean()
+    assert bayes[:, -1].mean() > rand[:, -1].mean()
