@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--root", default=None, help="project root directory")
     parser.add_argument("--config", default=None, help="YAML config file")
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="initialize multi-host JAX before any work "
+             "(jax.distributed.initialize; also auto-triggered by "
+             "AMCPY_NUM_PROCESSES/AMCPY_COORDINATOR/AMCPY_PROCESS_ID)",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("info", help="Show device/backend/config diagnostics")
@@ -267,14 +273,19 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
     save_checkpoint(cfg, model_id, state, scaler, history, cfg.training.epochs)
     print(f"Model saved -> {cfg.paths.trained_ann}/model-{model_id}.msgpack")
 
+    # every process participates in the (collective) eval programs; only
+    # the primary writes the shared artifacts
+    from amcpy_tpu.parallel.mesh import is_primary
+
     acc = evaluate_by_snr(model, state, scaler, features, cfg)
-    save_figure_data(cfg, model_id, acc)
-    plot_accuracy_by_snr(acc, model_id, cfg)
     cm = confusion_counts(
         model, state, x_test, y_test, len(cfg.signals.modulations_with_noise)
     )
-    plot_confusion_matrix(cm, model_id, cfg)
-    plot_history(history, model_id, cfg)
+    if is_primary():
+        save_figure_data(cfg, model_id, acc)
+        plot_accuracy_by_snr(acc, model_id, cfg)
+        plot_confusion_matrix(cm, model_id, cfg)
+        plot_history(history, model_id, cfg)
     print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
 
 
@@ -296,16 +307,18 @@ def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
         m: io_mat.load_features(cfg, m)
         for m in cfg.signals.modulations_with_noise
     }
-    acc = evaluate_by_snr(model, state, scaler, features, cfg)
-    save_figure_data(cfg, model_id, acc)
-    plot_accuracy_by_snr(acc, model_id, cfg)
+    from amcpy_tpu.parallel.mesh import is_primary
 
+    acc = evaluate_by_snr(model, state, scaler, features, cfg)
     x, y = build_dataset(features, cfg, args.mode)
     xs = scaler.transform(x)
     cm = confusion_counts(
         model, state, xs, y, len(cfg.signals.modulations_with_noise)
     )
-    plot_confusion_matrix(cm, model_id, cfg)
+    if is_primary():
+        save_figure_data(cfg, model_id, acc)
+        plot_accuracy_by_snr(acc, model_id, cfg)
+        plot_confusion_matrix(cm, model_id, cfg)
     import numpy as np
 
     print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
@@ -491,6 +504,19 @@ def main(argv: list[str] | None = None) -> None:
     _enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
+    import os
+
+    if args.distributed or os.environ.get("AMCPY_NUM_PROCESSES"):
+        from amcpy_tpu.parallel.mesh import init_distributed
+
+        if init_distributed():
+            import jax
+
+            print(
+                f"[distributed] process {jax.process_index()}/"
+                f"{jax.process_count()}, {jax.local_device_count()} local / "
+                f"{jax.device_count()} global devices"
+            )
     cfg = _load_config(args)
     cfg.paths.ensure_dirs()
     commands = {

@@ -34,6 +34,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "pad_to_multiple",
+    "put_global",
+    "is_primary",
     "init_distributed",
 ]
 
@@ -42,21 +44,31 @@ def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
-) -> None:
-    """Initialize multi-host JAX. No-op when single-process.
+) -> bool:
+    """Initialize multi-host JAX; returns True if it initialized.
 
-    Args come from the environment (``JAX_COORDINATOR_ADDRESS`` etc.) when
-    not given, matching ``jax.distributed.initialize`` semantics.
+    Resolution order per argument: explicit value > ``AMCPY_*`` env
+    (``AMCPY_COORDINATOR``, ``AMCPY_NUM_PROCESSES``, ``AMCPY_PROCESS_ID``)
+    > ``jax.distributed.initialize`` auto-detection (TPU pods, Slurm, GKE
+    populate the standard envs so a bare initialize works there).
+    No-op when nothing indicates a multi-process run.
     """
-    if num_processes is None:
-        num_processes = int(os.environ.get("AMCPY_NUM_PROCESSES", "1"))
-    if num_processes <= 1:
-        return
+    if jax.distributed.is_initialized():
+        return True  # already initialized
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("AMCPY_COORDINATOR")
+    if num_processes is None and os.environ.get("AMCPY_NUM_PROCESSES"):
+        num_processes = int(os.environ["AMCPY_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("AMCPY_PROCESS_ID"):
+        process_id = int(os.environ["AMCPY_PROCESS_ID"])
+    if num_processes is not None and num_processes <= 1:
+        return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
     )
+    return True
 
 
 def make_mesh(
@@ -103,6 +115,25 @@ def batch_sharding(
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def is_primary() -> bool:
+    """True on the process that owns shared filesystem artifacts (figures,
+    checkpoints, .mat exports) in a multi-process run."""
+    return jax.process_index() == 0
+
+
+def put_global(x, sharding: NamedSharding) -> jax.Array:
+    """Place a host array as a global sharded array — multi-process safe.
+
+    ``jax.device_put`` rejects shardings that span non-addressable devices;
+    ``make_array_from_callback`` instead asks each process only for its own
+    addressable shards. Correct whenever every process holds the SAME host
+    array (our pipeline guarantees this: every process reads identical
+    feature artifacts), and identical to ``device_put`` single-process.
+    """
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:

@@ -40,6 +40,9 @@ def save_checkpoint(
     epoch: int | None = None,
 ) -> Path:
     cfg.paths.ensure_dirs()
+    # replicated state is addressable on every process; only process 0
+    # writes (all processes see identical bytes), then everyone barriers
+    # so downstream stages on any host can read the artifact
     state = jax.device_get(state)
     payload = {
         "params": state.params,
@@ -48,6 +51,11 @@ def save_checkpoint(
         "step": np.asarray(state.step),
     }
     path = cfg.paths.trained_ann / f"model-{model_id}.msgpack"
+    if jax.process_index() != 0:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"amcpy_ckpt_{model_id}")
+        return path
     # to_bytes converts the pytree (incl. optax namedtuples) to a state dict
     path.write_bytes(serialization.to_bytes(payload))
     meta = {
@@ -73,6 +81,10 @@ def save_checkpoint(
     (cfg.paths.trained_ann / f"model-{model_id}.json").write_text(
         json.dumps(meta, indent=2)
     )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"amcpy_ckpt_{model_id}")
     return path
 
 

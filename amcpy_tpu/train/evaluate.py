@@ -12,14 +12,30 @@ from __future__ import annotations
 import numpy as np
 import scipy.io
 
+import jax
 import jax.numpy as jnp
 
 from amcpy_tpu.config import Config
 from amcpy_tpu.models.classifier import AMCClassifier
 from amcpy_tpu.preprocessing import Standardizer
-from amcpy_tpu.train.training import TrainState, predict_logits
+from amcpy_tpu.train.training import (
+    TrainState,
+    predict_logits,
+    predict_logits_global,
+)
 
 __all__ = ["evaluate_by_snr", "confusion_counts", "save_figure_data"]
+
+
+def _logits_np(model, state, x) -> np.ndarray:
+    """Single- or multi-process logits as a host array. Multi-process runs
+    must shard rows over the GLOBAL mesh and replicate the output — a
+    plain local jit would mix host-local and global-mesh arrays."""
+    if jax.process_count() > 1:
+        return predict_logits_global(model, state, x)
+    return np.asarray(
+        predict_logits(model, state.params, state.batch_stats, jnp.asarray(x))
+    )
 
 
 def evaluate_by_snr(
@@ -41,10 +57,8 @@ def evaluate_by_snr(
     blocks = np.stack([features[m][:, :, cols] for m in mods])  # (M,S,F,U)
     m, n_snr, n_frames, u = blocks.shape
     x = scaler.transform(blocks.reshape(-1, u).astype(np.float32))
-    logits = predict_logits(
-        model, state.params, state.batch_stats, jnp.asarray(x)
-    )
-    pred = np.asarray(jnp.argmax(logits, -1)).reshape(m, n_snr, n_frames)
+    logits = _logits_np(model, state, x)
+    pred = np.argmax(logits, -1).reshape(m, n_snr, n_frames)
     true = np.asarray(cfg.signals.labels)[:, None, None]
     return (pred == true).mean(axis=-1)
 
@@ -58,8 +72,8 @@ def confusion_counts(
 ) -> np.ndarray:
     """Row-normalized confusion matrix (true x predicted), 2 decimals —
     matching the reference presentation (``nn_model.py:302-305``)."""
-    logits = predict_logits(model, state.params, state.batch_stats, jnp.asarray(x))
-    pred = np.asarray(jnp.argmax(logits, -1))
+    logits = _logits_np(model, state, x)
+    pred = np.argmax(logits, -1)
     cm = np.zeros((n_classes, n_classes), dtype=np.float64)
     np.add.at(cm, (np.asarray(y), pred), 1.0)
     return np.around(cm / np.maximum(cm.sum(axis=1, keepdims=True), 1), 2)

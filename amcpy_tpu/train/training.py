@@ -38,7 +38,14 @@ from amcpy_tpu.models.classifier import AMCClassifier
 from amcpy_tpu.parallel.mesh import make_mesh
 from amcpy_tpu.utils.metrics import MetricsLogger, stage_timer
 
-__all__ = ["TrainState", "make_optimizer", "train", "predict_logits", "accuracy"]
+__all__ = [
+    "TrainState",
+    "make_optimizer",
+    "train",
+    "predict_logits",
+    "predict_logits_global",
+    "accuracy",
+]
 
 
 class TrainState(struct.PyTreeNode):
@@ -192,6 +199,14 @@ def train(
     if seed is None:
         seed = t.seed
     model_id = str(uuid.uuid4()).split("-")[0]
+    if jax.process_count() > 1:
+        # every process must agree on the checkpoint id (it names the
+        # write barrier and the artifact): process 0's draw wins
+        from jax.experimental import multihost_utils
+
+        raw = np.frombuffer(model_id.encode("ascii"), dtype=np.uint8)
+        raw = multihost_utils.broadcast_one_to_all(raw)
+        model_id = bytes(np.asarray(raw)).decode("ascii")
 
     model = AMCClassifier(
         n_classes=len(cfg.signals.modulations_with_noise),
@@ -220,23 +235,28 @@ def train(
     )
 
     # --- device placement: data sharded over the mesh, state replicated ---
+    # put_global (make_array_from_callback) instead of device_put: each
+    # process contributes only its addressable shards, so the SAME code
+    # places host-identical arrays correctly on 1 process or N (every
+    # process computed identical x/y from identical feature artifacts).
     data_axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
 
-    def put(x, s):
-        return jax.device_put(jnp.asarray(x), s)
+    from amcpy_tpu.parallel.mesh import put_global
 
     n_shards = mesh.shape[data_axis]
     # batch and dataset sizes rounded to shard multiples (static shapes)
     batch_size = max((min(t.batch_size, x_train.shape[0]) // n_shards), 1) * n_shards
     n = (x_train.shape[0] // n_shards) * n_shards
     m = (x_test.shape[0] // n_shards) * n_shards
-    x_tr = put(x_train[:n], shard)
-    y_tr = put(y_train[:n].astype(np.int32), shard)
-    x_te = put(x_test[:m], shard)
-    y_te = put(y_test[:m].astype(np.int32), shard)
-    state = jax.device_put(state, repl)
+    x_tr = put_global(np.asarray(x_train[:n], np.float32), shard)
+    y_tr = put_global(y_train[:n].astype(np.int32), shard)
+    x_te = put_global(np.asarray(x_test[:m], np.float32), shard)
+    y_te = put_global(y_test[:m].astype(np.int32), shard)
+    state = jax.tree.map(
+        lambda v: put_global(jax.device_get(v), repl), state
+    )
 
     n_batches = max(n // batch_size, 1)
     epoch = jax.jit(
@@ -272,6 +292,41 @@ def predict_logits(model: AMCClassifier, params, batch_stats, x) -> jax.Array:
     return model.apply(
         {"params": params, "batch_stats": batch_stats}, x, train=False
     )
+
+
+def predict_logits_global(
+    model: AMCClassifier, state: "TrainState", x: np.ndarray, mesh=None
+) -> np.ndarray:
+    """Multi-process-safe batched inference.
+
+    Rows are sharded over the global mesh's data axis (padded to a shard
+    multiple), parameters replicated, and the logits are produced
+    REPLICATED so ``device_get`` is legal on every process. Used by the
+    evaluation paths whenever ``jax.process_count() > 1``; numerically
+    identical to :func:`predict_logits`.
+    """
+    from amcpy_tpu.parallel.mesh import pad_to_multiple, put_global
+
+    if mesh is None:
+        mesh = make_mesh()
+    data_axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+    xp, orig = pad_to_multiple(np.asarray(x, np.float32), mesh.shape[data_axis])
+    xg = put_global(xp, shard)
+    params, batch_stats = jax.tree.map(
+        lambda v: put_global(jax.device_get(v), repl),
+        (state.params, state.batch_stats),
+    )
+
+    fn = jax.jit(
+        lambda p, bs, xx: model.apply(
+            {"params": p, "batch_stats": bs}, xx, train=False
+        ),
+        out_shardings=repl,
+    )
+    logits = fn(params, batch_stats, xg)
+    return np.asarray(jax.device_get(logits))[:orig]
 
 
 def accuracy(model, state: TrainState, x, y) -> float:
