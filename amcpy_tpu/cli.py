@@ -116,6 +116,23 @@ def build_parser() -> argparse.ArgumentParser:
              "sweep.yaml method), random = uniform search",
     )
 
+    par_p = sub.add_parser(
+        "parity",
+        help="Diff the ACTUAL reference extractor against this pipeline "
+             "on the dataset (features + downstream accuracy)",
+    )
+    par_p.add_argument("--ref", default="/root/reference",
+                       help="path to the reference checkout")
+    par_p.add_argument(
+        "--frames-per-snr", type=int, default=None,
+        help="subsample frames per (mod, SNR) block (default: all)",
+    )
+    par_p.add_argument("--no-train", action="store_true",
+                       help="skip the downstream accuracy comparison")
+    par_p.add_argument("--seed", type=int, default=0)
+    par_p.add_argument("--processes", type=int, default=None,
+                       help="reference-extractor worker processes")
+
     sub.add_parser("full", help="Run full pipeline: extract -> plot -> train")
     return parser
 
@@ -474,6 +491,35 @@ def cmd_sweep(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Best config -> {best_yaml} (use with: amc --config {best_yaml} train)")
 
 
+def cmd_parity(cfg: Config, args: argparse.Namespace) -> None:
+    from amcpy_tpu.parity import run_parity
+
+    _require(
+        cfg.paths.mat_data / cfg.paths.mat_filename,
+        "run `amc generate` first",
+    )
+    report = run_parity(
+        cfg,
+        ref_root=args.ref,
+        frames_per_snr=args.frames_per_snr,
+        train_models=not args.no_train,
+        seed=args.seed,
+        processes=args.processes,
+    )
+    worst = report["worst_error_fraction_of_tolerance"]
+    bad = report["frames_outside_tolerance"]
+    print(
+        f"Feature parity: {bad}/{report['frames_total']} frames outside "
+        f"tolerance (worst {worst * 100:.1f}% of budget)"
+    )
+    if "accuracy" in report:
+        print(
+            "Accuracy parity: max |delta| "
+            f"{report['accuracy']['max_abs_delta'] * 100:.2f} pp per "
+            "(mod, SNR) cell"
+        )
+
+
 def cmd_full(cfg: Config, args: argparse.Namespace) -> None:
     cmd_extract(cfg, args)
     cmd_plot(cfg, args)
@@ -529,6 +575,7 @@ def main(argv: list[str] | None = None) -> None:
         "quantize": cmd_quantize,
         "classify": cmd_classify,
         "sweep": cmd_sweep,
+        "parity": cmd_parity,
         "full": cmd_full,
     }
     commands[args.command](cfg, args)

@@ -1,0 +1,289 @@
+"""Reference-parity harness: run the ACTUAL reference extractor against
+this pipeline on a real dataset and diff the results (``amc parity``).
+
+The reference implementation is executed from its own checkout
+(``--ref``, default ``/root/reference``): its ``calculate_features``
+(``src/amcpy/features.py:214-232``) is imported and applied per frame in a
+multiprocessing pool — the same math its 6-process/8-thread farm runs
+(``feature_extraction.py:22-99``), minus the farm (deterministic, and the
+farm only parallelizes). Its §3 train/eval defects (shape bug, off-by-one
+columns) never enter this comparison because only the extractor is run.
+
+Outputs:
+
+* per-feature error statistics against the float32-vs-float64 tolerance
+  model ``1e-4 * term_scale + 1e-5 * |ref|`` (the same budget the test
+  suite enforces);
+* optional downstream accuracy parity: the classifier is trained twice
+  with identical hyperparameters/seed — once on reference-extracted
+  features, once on ours — and the per-SNR accuracy curves are diffed;
+* ``metrics/parity.json`` + a human-readable markdown report.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import multiprocessing as mp
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from amcpy_tpu.config import Config
+from amcpy_tpu.ops.features import NUM_FEATURES
+
+__all__ = ["run_parity", "reference_features_batch"]
+
+_REF_MOD = None
+_REF_ROOT = None
+
+
+def _load_reference_features(ref_root: str | Path):
+    """Import the reference's features module from its checkout without
+    installing it (it only needs numpy + scipy.stats)."""
+    global _REF_MOD, _REF_ROOT
+    if _REF_MOD is not None and _REF_ROOT == str(ref_root):
+        return _REF_MOD
+    path = Path(ref_root) / "src" / "amcpy" / "features.py"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"reference checkout not found: {path} — pass --ref"
+        )
+    spec = importlib.util.spec_from_file_location(
+        "_amcpy_reference_features", path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    assert spec.loader is not None
+    spec.loader.exec_module(mod)
+    _REF_MOD, _REF_ROOT = mod, str(ref_root)
+    return mod
+
+
+def _ref_worker(args: tuple[str, np.ndarray]) -> np.ndarray:
+    """Pool worker: reference calculate_features over a frame chunk."""
+    ref_root, frames = args
+    mod = _load_reference_features(ref_root)
+    ids = list(range(1, NUM_FEATURES + 1))
+    out = np.empty((frames.shape[0], NUM_FEATURES), dtype=np.float64)
+    for i, frame in enumerate(frames):
+        out[i] = mod.calculate_features(ids, frame)
+    return out
+
+
+def reference_features_batch(
+    frames: np.ndarray,
+    ref_root: str | Path = "/root/reference",
+    processes: int | None = None,
+    chunk: int = 250,
+) -> np.ndarray:
+    """Reference features for ``(B, N)`` complex frames, multiprocess.
+
+    Uses the spawn context (fork after JAX backend init can deadlock).
+    """
+    frames = np.asarray(frames)
+    tasks = [
+        (str(ref_root), frames[s : s + chunk])
+        for s in range(0, frames.shape[0], chunk)
+    ]
+    if processes is None:
+        processes = min(mp.cpu_count() or 1, 8)
+    if processes <= 1 or len(tasks) == 1:
+        parts = [_ref_worker(t) for t in tasks]
+    else:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(processes) as pool:
+            parts = pool.map(_ref_worker, tasks)
+    return np.concatenate(parts, axis=0)
+
+
+def _term_scales_batch(frames: np.ndarray) -> np.ndarray:
+    """Per-frame magnitude scale of each feature's largest constituent
+    term — the denominator of the float32 error budget. Mirrors the test
+    oracle (``tests/oracle.py``), vectorized over the batch."""
+    x = np.asarray(frames, dtype=np.complex128)
+    a = np.abs(x)
+    n = x.shape[-1]
+    a2 = a * a
+    p2 = np.mean(a2, axis=-1)
+    x2 = x * x
+    m20 = np.abs(np.mean(x2, axis=-1))
+    m40 = np.abs(np.mean(x2 * x2, axis=-1))
+    m42 = np.mean(a2 * a2, axis=-1)
+    m63 = np.mean(a2 * a2 * a2, axis=-1)
+    s = np.empty((x.shape[0], NUM_FEATURES))
+    s[:, 0] = np.sum(a2, axis=-1)  # Parseval bound on gmax
+    s[:, 1] = s[:, 2] = np.pi
+    s[:, 3] = 1.0
+    s[:, 4] = 0.5
+    s[:, 5] = np.maximum(np.mean(a, axis=-1), 1e-30)
+    s[:, 6] = np.maximum(np.sqrt(np.sum(a, axis=-1)) / n, 1e-30)
+    s[:, 7] = s[:, 8] = 10.0
+    s[:, 9] = s[:, 10] = p2
+    c4 = np.maximum.reduce([m42, 3 * m20**2, p2**2])
+    s[:, 11] = s[:, 12] = s[:, 13] = c4
+    c6 = np.maximum.reduce([m63, 15 * m20 * m40, p2**3])
+    s[:, 14] = s[:, 15] = s[:, 16] = s[:, 17] = c6
+    return s
+
+
+def run_parity(
+    cfg: Config,
+    *,
+    ref_root: str | Path = "/root/reference",
+    frames_per_snr: int | None = None,
+    train_models: bool = True,
+    seed: int = 0,
+    processes: int | None = None,
+    atol_scale: float = 1e-4,
+    rtol: float = 1e-5,
+) -> dict[str, Any]:
+    """Full parity run; returns (and persists) the report dict."""
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.extraction import extract_batch
+    from amcpy_tpu.parallel.mesh import make_mesh
+
+    cfg.paths.ensure_dirs()
+    s = cfg.signals
+    mesh = make_mesh(cfg)
+    take = frames_per_snr or s.num_frames
+
+    feats_ours: dict[str, np.ndarray] = {}
+    feats_ref: dict[str, np.ndarray] = {}
+    per_feature_max_frac = np.zeros(NUM_FEATURES)
+    per_feature_max_abs = np.zeros(NUM_FEATURES)
+    n_frames_total = 0
+    n_violations = 0
+    t0 = time.perf_counter()
+    t_ref = 0.0
+    t_ours = 0.0
+
+    for mod in s.modulations_with_noise:
+        raw = io_mat.load_modulation(cfg, mod)[:, :take]  # (S, take, N)
+        n_snr, n_f, n = raw.shape
+        flat = raw.reshape(-1, n)
+
+        t = time.perf_counter()
+        ours = extract_batch(
+            flat, mesh=mesh,
+            normalize_scale=cfg.compute.normalize_scale,
+            gmax_mode=cfg.compute.gmax_mode,
+            kernel=cfg.compute.kernel,
+        ).astype(np.float64)
+        t_ours += time.perf_counter() - t
+
+        t = time.perf_counter()
+        ref = reference_features_batch(flat, ref_root, processes=processes)
+        t_ref += time.perf_counter() - t
+
+        tol = atol_scale * _term_scales_batch(flat) + rtol * np.abs(ref)
+        frac = np.abs(ours - ref) / tol
+        per_feature_max_frac = np.maximum(
+            per_feature_max_frac, frac.max(axis=0)
+        )
+        per_feature_max_abs = np.maximum(
+            per_feature_max_abs, np.abs(ours - ref).max(axis=0)
+        )
+        n_violations += int((frac > 1.0).any(axis=-1).sum())
+        n_frames_total += flat.shape[0]
+        feats_ours[mod] = ours.reshape(n_snr, n_f, NUM_FEATURES).astype(
+            np.float32
+        )
+        feats_ref[mod] = ref.reshape(n_snr, n_f, NUM_FEATURES).astype(
+            np.float32
+        )
+        print(
+            f"[parity] {mod}: {flat.shape[0]} frames, "
+            f"worst error = {frac.max() * 100:.1f}% of tolerance",
+            flush=True,
+        )
+
+    report: dict[str, Any] = {
+        "dataset": str(cfg.paths.mat_data / cfg.paths.mat_filename),
+        "frames_per_snr": take,
+        "frames_total": n_frames_total,
+        "tolerance": {"atol_scale": atol_scale, "rtol": rtol},
+        "frames_outside_tolerance": n_violations,
+        "worst_error_fraction_of_tolerance": float(per_feature_max_frac.max()),
+        "per_feature_max_tolerance_fraction": [
+            round(float(v), 4) for v in per_feature_max_frac
+        ],
+        "wall_s": {"reference_extractor": round(t_ref, 2),
+                   "this_pipeline": round(t_ours, 2)},
+    }
+
+    if train_models:
+        from amcpy_tpu.preprocessing import preprocess
+        from amcpy_tpu.train.evaluate import evaluate_by_snr
+        from amcpy_tpu.train.training import train
+
+        tcfg = cfg if take == s.num_frames else cfg.replace(
+            signals={"num_frames": take}
+        )
+        accs = {}
+        for name, feats in (("reference", feats_ref), ("ours", feats_ours)):
+            x_tr, x_te, y_tr, y_te, scaler = preprocess(feats, tcfg)
+            model, state, hist, _ = train(
+                tcfg, x_tr, y_tr, x_te, y_te, seed=seed
+            )
+            accs[name] = evaluate_by_snr(model, state, scaler, feats, tcfg)
+            print(
+                f"[parity] trained on {name} features: "
+                f"val_acc={hist['val_accuracy'][-1]:.4f}",
+                flush=True,
+            )
+        delta = accs["ours"] - accs["reference"]
+        report["accuracy"] = {
+            "per_snr_ours": np.round(accs["ours"], 4).tolist(),
+            "per_snr_reference": np.round(accs["reference"], 4).tolist(),
+            "max_abs_delta": float(np.abs(delta).max()),
+            "mean_abs_delta": float(np.abs(delta).mean()),
+            "mean_ours": float(accs["ours"].mean()),
+            "mean_reference": float(accs["reference"].mean()),
+        }
+
+    report["total_wall_s"] = round(time.perf_counter() - t0, 2)
+    out = cfg.paths.metrics / "parity.json"
+    out.write_text(json.dumps(report, indent=2))
+    _write_markdown(cfg, report)
+    print(f"[parity] report -> {out}")
+    return report
+
+
+def _write_markdown(cfg: Config, r: dict[str, Any]) -> Path:
+    lines = [
+        "# Reference parity report",
+        "",
+        f"Dataset: `{r['dataset']}` — {r['frames_total']} frames "
+        f"({r['frames_per_snr']} per SNR), reference extractor executed "
+        "from its checkout, frame-by-frame.",
+        "",
+        f"- Tolerance model: `{r['tolerance']['atol_scale']} * term_scale"
+        f" + {r['tolerance']['rtol']} * |ref|` (float32-vs-float64 budget)",
+        f"- Frames with ANY feature outside tolerance: "
+        f"**{r['frames_outside_tolerance']} / {r['frames_total']}**",
+        f"- Worst observed error: "
+        f"**{r['worst_error_fraction_of_tolerance'] * 100:.1f}% of budget**",
+        f"- Wall: reference {r['wall_s']['reference_extractor']}s vs "
+        f"this pipeline {r['wall_s']['this_pipeline']}s "
+        "(host round-trips included)",
+    ]
+    if "accuracy" in r:
+        a = r["accuracy"]
+        lines += [
+            "",
+            "## Downstream accuracy parity",
+            "",
+            "Classifier trained twice with identical hyperparameters and "
+            "seed — once on reference-extracted features, once on ours:",
+            "",
+            f"- mean per-SNR accuracy: ours {a['mean_ours']:.4f} vs "
+            f"reference-features {a['mean_reference']:.4f}",
+            f"- max |delta| over all 96 (mod, SNR) cells: "
+            f"**{a['max_abs_delta'] * 100:.2f} pp**",
+            f"- mean |delta|: {a['mean_abs_delta'] * 100:.2f} pp",
+        ]
+    p = cfg.paths.metrics / "parity_report.md"
+    p.write_text("\n".join(lines) + "\n")
+    return p

@@ -1,0 +1,57 @@
+"""Tests for the `amc parity` harness (runs the ACTUAL reference
+extractor from its checkout; skipped when no checkout is present)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.config import Config
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not (REF / "src" / "amcpy" / "features.py").exists(),
+    reason="reference checkout not available",
+)
+
+
+def test_reference_features_batch_matches_oracle():
+    from amcpy_tpu.parity import reference_features_batch
+
+    from .oracle import features_batch
+
+    from .oracle import term_scales
+
+    rng = np.random.default_rng(0)
+    frames = (
+        rng.standard_normal((6, 256)) + 1j * rng.standard_normal((6, 256))
+    ).astype(np.complex64)
+    ref = reference_features_batch(frames, REF, processes=1)
+    want = features_batch(frames)
+    # same math, different operation order (both float64): the residual
+    # must be deep inside the float32 tolerance budget used for parity
+    for bi in range(frames.shape[0]):
+        budget = 1e-4 * term_scales(frames[bi]) + 1e-5 * np.abs(want[bi])
+        assert (np.abs(ref[bi] - want[bi]) <= 0.05 * budget).all()
+
+
+def test_parity_cli_end_to_end(tmp_path):
+    """Tiny full run through the CLI: generate -> parity (with training)."""
+    from amcpy_tpu.cli import main
+
+    (tmp_path / "cfg.yaml").write_text(
+        "signals:\n  num_frames: 6\n  frame_size: 256\n"
+        "training:\n  epochs: 2\n  batch_size: 64\n"
+    )
+    base = ["--root", str(tmp_path), "--config", str(tmp_path / "cfg.yaml")]
+    main(base + ["generate", "--seed", "3"])
+    main(base + ["parity", "--processes", "1", "--frames-per-snr", "4"])
+    report = json.loads((tmp_path / "metrics" / "parity.json").read_text())
+    assert report["frames_total"] == 6 * 16 * 4
+    assert report["frames_outside_tolerance"] == 0
+    assert report["worst_error_fraction_of_tolerance"] < 1.0
+    assert "accuracy" in report
+    # identical training stack + seed on near-identical features
+    assert report["accuracy"]["max_abs_delta"] <= 0.25
+    assert (tmp_path / "metrics" / "parity_report.md").exists()
