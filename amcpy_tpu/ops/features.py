@@ -57,6 +57,7 @@ import numpy as np
 __all__ = [
     "extract_features",
     "extract_features_planar",
+    "extract_features_planar_scan",
     "to_planar",
     "NUM_FEATURES",
     "SCALE_DEGREES",
@@ -311,6 +312,52 @@ def extract_features_planar(
         compute_gmax=compute_gmax,
         gmax_mode=gmax_mode,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk", "normalize_scale", "compute_gmax", "gmax_mode"),
+)
+def extract_features_planar_scan(
+    iq: jax.Array,
+    *,
+    chunk: int = 4096,
+    normalize_scale: bool = True,
+    compute_gmax: bool = True,
+    gmax_mode: str = "matmul",
+) -> jax.Array:
+    """Large-batch extractor: one compiled program, bounded live memory.
+
+    At ~>8M samples per step XLA spills the (B, N)-sized elementwise
+    temporaries to HBM and throughput halves (bench-verified round 1:
+    9.8 -> 4.0 Gsamples/s at 16384x2048). Instead of chunking with many
+    dispatches, this reshapes ``(B, 2, N)`` to ``(B/chunk, chunk, 2, N)``
+    and ``lax.scan``s the fused extractor over the chunks — temporaries
+    stay chunk-sized, the whole batch is ONE dispatch, and XLA can overlap
+    the next chunk's HBM reads with compute. B is padded to a chunk
+    multiple internally.
+    """
+    if iq.shape[-2] != 2:
+        raise ValueError(f"expected (B, 2, N) planar input, got {iq.shape}")
+    b, _, n = iq.shape
+    chunk = min(chunk, b) or b
+    pad = (-b) % chunk
+    if pad:
+        iq = jnp.concatenate([iq, iq[-1:].repeat(pad, axis=0)], axis=0)
+    blocks = iq.reshape((b + pad) // chunk, chunk, 2, n)
+
+    def body(carry, blk):
+        feats = _extract_planar(
+            blk[:, 0, :],
+            blk[:, 1, :],
+            normalize_scale=normalize_scale,
+            compute_gmax=compute_gmax,
+            gmax_mode=gmax_mode,
+        )
+        return carry, feats
+
+    _, feats = jax.lax.scan(body, None, blocks)
+    return feats.reshape(b + pad, NUM_FEATURES)[:b]
 
 
 def extract_features(

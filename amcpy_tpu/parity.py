@@ -61,9 +61,8 @@ def _load_reference_features(ref_root: str | Path):
     return mod
 
 
-def _ref_worker(args: tuple[str, np.ndarray]) -> np.ndarray:
-    """Pool worker: reference calculate_features over a frame chunk."""
-    ref_root, frames = args
+def _ref_worker(ref_root: str, frames: np.ndarray) -> np.ndarray:
+    """Reference calculate_features over a frame chunk, in-process."""
     mod = _load_reference_features(ref_root)
     ids = list(range(1, NUM_FEATURES + 1))
     out = np.empty((frames.shape[0], NUM_FEATURES), dtype=np.float64)
@@ -72,29 +71,75 @@ def _ref_worker(args: tuple[str, np.ndarray]) -> np.ndarray:
     return out
 
 
+def _subproc_main() -> None:
+    """Entry for the worker subprocesses: argv = in.npy out.npy ref_root."""
+    import sys
+
+    in_path, out_path, ref_root = sys.argv[1:4]
+    frames = np.load(in_path)
+    np.save(out_path, _ref_worker(ref_root, frames))
+
+
 def reference_features_batch(
     frames: np.ndarray,
     ref_root: str | Path = "/root/reference",
     processes: int | None = None,
-    chunk: int = 250,
 ) -> np.ndarray:
-    """Reference features for ``(B, N)`` complex frames, multiprocess.
+    """Reference features for ``(B, N)`` complex frames, parallel.
 
-    Uses the spawn context (fork after JAX backend init can deadlock).
+    Workers are plain subprocesses whose entrypoint is THIS module (data
+    via .npy temp files) — deliberately not ``multiprocessing``: its spawn
+    context re-imports the caller's ``__main__`` in every worker, which
+    re-runs unguarded launcher scripts and re-initializes accelerator
+    backends; fork after JAX backend init can deadlock. Subprocesses have
+    neither hazard.
     """
+    import subprocess
+    import sys
+    import tempfile
+
     frames = np.asarray(frames)
-    tasks = [
-        (str(ref_root), frames[s : s + chunk])
-        for s in range(0, frames.shape[0], chunk)
-    ]
     if processes is None:
         processes = min(mp.cpu_count() or 1, 8)
-    if processes <= 1 or len(tasks) == 1:
-        parts = [_ref_worker(t) for t in tasks]
-    else:
-        ctx = mp.get_context("spawn")
-        with ctx.Pool(processes) as pool:
-            parts = pool.map(_ref_worker, tasks)
+    processes = max(1, min(processes, frames.shape[0]))
+    if processes == 1:
+        return _ref_worker(str(ref_root), frames)
+
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo_root] + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    env.setdefault("JAX_PLATFORMS", "cpu")  # workers never touch devices
+    bounds = np.linspace(0, frames.shape[0], processes + 1).astype(int)
+    with tempfile.TemporaryDirectory(prefix="amc_parity_") as td:
+        procs = []
+        for w, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            inp = f"{td}/in_{w}.npy"
+            outp = f"{td}/out_{w}.npy"
+            np.save(inp, frames[lo:hi])
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable,
+                        "-c",
+                        "from amcpy_tpu.parity import _subproc_main; "
+                        "_subproc_main()",
+                        inp,
+                        outp,
+                        str(ref_root),
+                    ],
+                    env=env,
+                )
+            )
+        for w, p in enumerate(procs):
+            if p.wait() != 0:
+                raise RuntimeError(f"reference worker {w} failed")
+        parts = [
+            np.load(f"{td}/out_{w}.npy") for w in range(len(procs))
+        ]
     return np.concatenate(parts, axis=0)
 
 

@@ -1,17 +1,34 @@
 """Benchmark: 18-feature extraction throughput (frames/sec/chip).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Prints ONE JSON line (last stdout line):
+    {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+     "kernels": {...}, "roofline": {...}, "config": {...}}
 
-* ``value`` — steady-state device throughput of the fused extractor on
-  2048-sample frames (inputs resident in HBM, outputs left on device;
-  matches the pipeline steady state where the dataset is loaded once).
+* ``value`` — steady-state device throughput of the best kernel on
+  4096x2048 planar frames (inputs resident in HBM, outputs left on
+  device; matches the pipeline steady state where the dataset is loaded
+  once). EVERY shipped kernel is measured and reported under "kernels"
+  (VERDICT r1 item 2), plus the 16384-frame scan-chunked path that fixes
+  the round-1 XLA spill (item 5).
 * ``vs_baseline`` — ratio against the reference CPU extractor measured on
   THIS host: the per-frame NumPy implementation with the reference's
   recompute-everything structure (InstantaneousValues rebuilt 4x,
   MomentValues 11 moments rebuilt for each of 9 cumulants — see
   /root/reference/src/amcpy/features.py:104-185), single-thread fps scaled
   by cpu_count() as an upper bound on its 6-process/8-thread farm.
+* ``roofline`` — achieved Gsamples/s and HBM-bandwidth fraction for the
+  flagship kernel (the extractor is bandwidth/VPU-bound; the MXU DFT is a
+  minor FLOP term), so regressions are attributable.
+
+Timing method: the kernel is looped INSIDE one compiled program
+(``lax.fori_loop``) and the (t_many - t_one)/iters difference cancels
+dispatch/RPC latency. The loop carries a serial data dependence
+(``iq + acc * 1e-30``) so XLA cannot hoist the body
+(loop-invariant-code-motion) — this add fuses into the kernel's first
+elementwise pass and costs no extra HBM traffic, unlike round 1's
+``iq + k * 1e-12`` whose counter-dependent operand materialized an extra
+64 MB temporary per iteration (the BENCH_r01 1.072 ms vs RESULTS_r1
+0.86 ms discrepancy — resolved, see RESULTS_r2.md).
 
 Extra context lines go to stderr; the JSON line is the last stdout line.
 """
@@ -27,8 +44,18 @@ import numpy as np
 
 FRAME_SIZE = 2048
 BATCH = 4096
+BIG_BATCH = 16384
 ITERS = 30
 BASELINE_FRAMES = 32
+
+#: device_kind substring -> (HBM bytes/s, bf16 FLOP/s) peaks
+_PEAKS = {
+    "v5 lite": (819e9, 197e12),
+    "v5e": (819e9, 197e12),
+    "v5p": (2765e9, 459e12),
+    "v4": (1228e9, 275e12),
+    "v6": (1638e9, 918e12),
+}
 
 
 def _log(msg: str) -> None:
@@ -125,11 +152,49 @@ def measure_cpu_baseline() -> float:
     return single * ncpu
 
 
-def measure_tpu() -> float:
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+def _amortized(kern, iqj, batch: int, iters: int) -> float:
+    """Seconds per kernel application, dispatch latency cancelled.
+
+    The loop body depends on the previous iteration's scalar result
+    (``iq + acc * 1e-30``): serial, so XLA cannot hoist it, and the add
+    fuses into the kernel's first pass (no extra HBM materialization).
+    """
     import jax
     import jax.numpy as jnp
 
-    from amcpy_tpu.ops.features import extract_features_planar
+    def rep(iq_in, n):
+        def body(_, acc):
+            f = kern(iq_in + acc * jnp.float32(1e-30))
+            return jnp.sum(f)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    repj = jax.jit(rep, static_argnums=1)
+    float(repj(iqj, 1))           # compile short
+    float(repj(iqj, iters + 1))   # compile long
+    t0 = time.perf_counter()
+    float(repj(iqj, 1))
+    t_one = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(repj(iqj, iters + 1))
+    t_many = time.perf_counter() - t0
+    return (t_many - t_one) / iters
+
+
+def measure_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from amcpy_tpu.ops.features import (
+        extract_features_planar,
+        extract_features_planar_scan,
+    )
+    from amcpy_tpu.ops.pallas_features import extract_features_pallas
 
     dev = jax.devices()[0]
     _log(f"[bench] device: {dev}")
@@ -140,42 +205,76 @@ def measure_tpu() -> float:
     _log(f"[bench] first-sync warmup: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
-    iq = rng.standard_normal((BATCH, 2, FRAME_SIZE)).astype(np.float32)
-    iqj = jax.device_put(iq, dev)
-
-    # Per-call wall time through a tunneled backend measures RPC latency,
-    # not device time — amortize by looping the kernel INSIDE one program.
-    # The per-iteration input perturbation depends on the loop counter so
-    # nothing can be hoisted or CSE'd.
-    def repeated(iq_in, iters):
-        def body(k, acc):
-            f = extract_features_planar(
-                iq_in + k * jnp.float32(1e-12), gmax_mode="matmul"
-            )
-            return acc + jnp.sum(f)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    rep = jax.jit(repeated, static_argnums=1)
-
-    t0 = time.perf_counter()
-    float(rep(iqj, 1))
-    _log(f"[bench] compile+run(1): {time.perf_counter() - t0:.1f}s")
-    float(rep(iqj, ITERS + 1))  # compile the long variant
-
-    t0 = time.perf_counter()
-    float(rep(iqj, 1))
-    t_one = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(rep(iqj, ITERS + 1))
-    t_many = time.perf_counter() - t0
-    dt = (t_many - t_one) / ITERS  # RPC latency cancels
-    fps = BATCH / dt
-    _log(
-        f"[bench] fused extractor: {BATCH} frames x {FRAME_SIZE} samples in "
-        f"{dt * 1e3:.3f} ms/iter (amortized) -> {fps:,.0f} frames/s"
+    iqj = jax.device_put(
+        rng.standard_normal((BATCH, 2, FRAME_SIZE)).astype(np.float32), dev
     )
-    return fps
+
+    on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev.device_kind)
+    kernels = {}
+
+    def bench(label, kern, batch=BATCH, arr=None, iters=ITERS):
+        dt = _amortized(kern, arr if arr is not None else iqj, batch, iters)
+        fps = batch / dt
+        kernels[label] = {
+            "ms_per_batch": round(dt * 1e3, 3),
+            "frames_per_s": round(fps, 1),
+            "batch": batch,
+        }
+        _log(
+            f"[bench] {label:32s} {dt * 1e3:7.3f} ms/batch "
+            f"-> {fps:,.0f} frames/s"
+        )
+        return fps
+
+    bench("xla+matmul-dft",
+          lambda x: extract_features_planar(x, gmax_mode="matmul"))
+    bench("xla+fft",
+          lambda x: extract_features_planar(x, gmax_mode="fft"))
+    if on_tpu:
+        bench("pallas+matmul-dft",
+              lambda x: extract_features_pallas(
+                  x, tile_b=128, gmax_mode="matmul"))
+    # 16k batch: the round-1 spill case, fixed by the in-program scan
+    iqj2 = jax.device_put(
+        rng.standard_normal((BIG_BATCH, 2, FRAME_SIZE)).astype(np.float32),
+        dev,
+    )
+    bench("16k-flat (r1 spill case)",
+          lambda x: extract_features_planar(x, gmax_mode="matmul"),
+          batch=BIG_BATCH, arr=iqj2, iters=8)
+    bench("16k-scan-chunked",
+          lambda x: extract_features_planar_scan(
+              x, chunk=4096, gmax_mode="matmul"),
+          batch=BIG_BATCH, arr=iqj2, iters=8)
+
+    flagship = max(
+        (k for k in kernels if not k.startswith("16k")),
+        key=lambda k: kernels[k]["frames_per_s"],
+    )
+    fps = kernels[flagship]["frames_per_s"]
+
+    # ---- roofline context -------------------------------------------------
+    peaks = next(
+        (v for k, v in _PEAKS.items() if k in str(dev.device_kind).lower()),
+        None,
+    )
+    bytes_in = BATCH * 2 * FRAME_SIZE * 4
+    dt = kernels[flagship]["ms_per_batch"] / 1e3
+    gsps = BATCH * FRAME_SIZE / dt / 1e9
+    roofline = {
+        "flagship": flagship,
+        "gsamples_per_s": round(gsps, 2),
+        "input_bytes_per_batch": bytes_in,
+        "achieved_input_gbps": round(bytes_in / dt / 1e9, 1),
+    }
+    if peaks:
+        hbm, flops = peaks
+        roofline["hbm_peak_gbps"] = round(hbm / 1e9, 0)
+        # single-pass-over-input fraction: >1 pass of traffic per byte of
+        # input is the fusion headroom
+        roofline["effective_hbm_passes"] = round(hbm * dt / bytes_in, 1)
+    _log(f"[bench] roofline: {roofline}")
+    return {"fps": fps, "kernels": kernels, "roofline": roofline}
 
 
 def main() -> None:
@@ -188,15 +287,17 @@ def main() -> None:
     except Exception:
         pass
     baseline = measure_cpu_baseline()
-    fps = measure_tpu()
+    r = measure_tpu()
     print(
         json.dumps(
             {
                 "metric": "18-feature extraction throughput "
                 f"({FRAME_SIZE}-sample frames, 1 chip)",
-                "value": round(fps, 1),
+                "value": round(r["fps"], 1),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / baseline, 2),
+                "vs_baseline": round(r["fps"] / baseline, 2),
+                "kernels": r["kernels"],
+                "roofline": r["roofline"],
             }
         )
     )

@@ -165,3 +165,24 @@ def test_extractor_gmax_modes_agree():
     b = np.asarray(extract_features_planar(to_planar(frames), gmax_mode="matmul"))
     np.testing.assert_allclose(b[:, 0], a[:, 0], rtol=2e-4)
     np.testing.assert_array_equal(b[:, 1:], a[:, 1:])
+
+
+def test_scan_chunked_extractor_matches_flat():
+    """The one-dispatch lax.scan large-batch path (16k-spill fix) must
+    match the flat extractor, including the padded final chunk."""
+    from amcpy_tpu.ops.features import (
+        extract_features_planar,
+        extract_features_planar_scan,
+        to_planar,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = (
+        rng.standard_normal((50, 256)) + 1j * rng.standard_normal((50, 256))
+    ).astype(np.complex64)
+    iq = to_planar(frames)
+    flat = np.asarray(extract_features_planar(iq, gmax_mode="fft"))
+    scanned = np.asarray(
+        extract_features_planar_scan(iq, chunk=16, gmax_mode="fft")
+    )
+    np.testing.assert_allclose(scanned, flat, rtol=1e-6, atol=1e-7)

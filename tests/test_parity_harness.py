@@ -27,7 +27,8 @@ def test_reference_features_batch_matches_oracle():
     frames = (
         rng.standard_normal((6, 256)) + 1j * rng.standard_normal((6, 256))
     ).astype(np.complex64)
-    ref = reference_features_batch(frames, REF, processes=1)
+    # processes=2 exercises the subprocess worker pool
+    ref = reference_features_batch(frames, REF, processes=2)
     want = features_batch(frames)
     # same math, different operation order (both float64): the residual
     # must be deep inside the float32 tolerance budget used for parity
