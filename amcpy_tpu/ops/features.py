@@ -209,13 +209,20 @@ def _extract_planar(
     }
 
     # ---- gamma_max (complex exists only inside the program) --------------
+    # Computed on the RAW i/q, not the normalized iu/qu: the DFT is linear
+    # (max|FFT(x/s)|^2 * s^2 == max|FFT(x)|^2 exactly), and XLA cannot fuse
+    # elementwise producers into dot operands — feeding iu/qu would
+    # materialize two (B, N) temporaries (~128 MB of HBM traffic per 4096x
+    # 2048 batch, measured +0.19 ms) while raw i/q are already resident
+    # input slices. f32 headroom: |x| * N must stay < ~1.8e19, i.e.
+    # max|x| < 9e15 for N=2048 — far beyond any physical IQ capture.
     if compute_gmax:
         from amcpy_tpu.ops import fft as _fft
 
         if gmax_mode == "matmul":
-            f1 = _fft.gmax_matmul(iu, qu)
+            f1 = _fft.gmax_matmul(i, q)
         else:
-            f1 = _fft.gmax_fft(iu, qu)
+            f1 = _fft.gmax_fft(i, q)
     else:
         f1 = jnp.zeros(i.shape[:-1], real_dtype)
 
@@ -229,11 +236,11 @@ def _extract_planar(
 def _assemble_features(direct, moments, scale) -> jax.Array:
     """Cumulants from moments + exact un-normalization + stacking.
 
-    ``direct`` are features 1-9 (already in raw scale except f1 which is in
-    normalized scale when ``scale`` is given); ``moments`` are the mixed
-    moments of the (possibly normalized) signal; ``scale`` is the per-frame
-    normalization factor or None. Cumulant formulas follow the reference
-    (``features.py:116-185``).
+    ``direct`` are features 1-9, all already in raw scale (f1 is computed
+    on the raw signal — the DFT is linear so normalization buys nothing);
+    ``moments`` are the mixed moments of the (possibly normalized) signal;
+    ``scale`` is the per-frame normalization factor or None. Cumulant
+    formulas follow the reference (``features.py:116-185``).
     """
     f1, f2, f3, f4, f5, f6, f7, f8, f9 = direct
     m20, m21, m40 = moments["m20"], moments["m21"], moments["m40"]
@@ -273,7 +280,6 @@ def _assemble_features(direct, moments, scale) -> jax.Array:
         s2 = scale * scale
         s4 = s2 * s2
         s6 = s4 * s2
-        f1 = f1 * s2
         c20, c21 = c20 * s2, c21 * s2
         c40, c41, c42 = c40 * s4, c41 * s4, c42 * s4
         c60, c61, c62, c63 = c60 * s6, c61 * s6, c62 * s6, c63 * s6

@@ -271,30 +271,14 @@ def extract_features_pallas(
     )(iq)
 
     if compute_gmax:
-        # FFT epilogue (XLA native); normalized signal with exact s^2 rescale
-        i = iq[:, 0, :]
-        q = iq[:, 1, :]
-        if normalize_scale:
-            s = jnp.max(jnp.sqrt(i * i + q * q), axis=-1)
-            s = jnp.where(s > 0, s, jnp.ones_like(s))
-            inv = (1.0 / s)[:, None]
-            fft = jnp.fft.fft(jax.lax.complex(i * inv, q * inv), axis=-1)
-            gmax = (
-                jnp.max(
-                    jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)),
-                    axis=-1,
-                )
-                / n
-            ) * (s * s)
-        else:
-            fft = jnp.fft.fft(jax.lax.complex(i, q), axis=-1)
-            gmax = (
-                jnp.max(
-                    jnp.square(jnp.real(fft)) + jnp.square(jnp.imag(fft)),
-                    axis=-1,
-                )
-                / n
-            )
+        # Spectral epilogue (XLA native) — gmax_mode picks the four-step
+        # MXU matmul-DFT or the FFT, exactly as in the XLA path. Raw i/q:
+        # the DFT is linear, so scale normalization buys nothing and would
+        # only materialize normalized temporaries (see ops/features.py).
+        from amcpy_tpu.ops import fft as _fft
+
+        spectral = _fft.gmax_matmul if gmax_mode == "matmul" else _fft.gmax_fft
+        gmax = spectral(iq[:, 0, :], iq[:, 1, :])
         feats = feats.at[:, 0].set(gmax)
 
     return feats[:b]

@@ -168,14 +168,16 @@ def extract_features_sp(
         }
 
         # ---- gamma_max: reassemble the frame, local spectral kernel ----
+        # Raw i/q (not iu/qu): the DFT is linear, so the s^2-rescale round
+        # trip is pure overhead — see ops/features.py for the f32 bound.
         from amcpy_tpu.ops import fft as _fft
 
-        iu_full = jax.lax.all_gather(iu, seq_axis, axis=-1, tiled=True)
-        qu_full = jax.lax.all_gather(qu, seq_axis, axis=-1, tiled=True)
+        i_full = jax.lax.all_gather(i, seq_axis, axis=-1, tiled=True)
+        q_full = jax.lax.all_gather(q, seq_axis, axis=-1, tiled=True)
         if gmax_mode == "matmul":
-            f1 = _fft.gmax_matmul(iu_full, qu_full)
+            f1 = _fft.gmax_matmul(i_full, q_full)
         else:
-            f1 = _fft.gmax_fft(iu_full, qu_full)
+            f1 = _fft.gmax_fft(i_full, q_full)
 
         return _assemble_features(
             (f1, f2, f3, f4, f5, f6, f7, f8, f9), moments, s
