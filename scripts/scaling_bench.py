@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--seq", action="store_true",
                     help="also measure sequence-axis scaling")
+    ap.add_argument("--overhead", action="store_true",
+                    help="fixed-total-batch partition-overhead mode: run the "
+                         "SAME total batch on a 1-device and an N-device mesh "
+                         "and report the slowdown. On virtual CPU devices "
+                         "(which oversubscribe the host's physical cores) this "
+                         "is the only honest number — weak-scaling efficiency "
+                         "there measures core oversubscription, not ICI.")
     args = ap.parse_args()
 
     import jax
@@ -58,11 +65,13 @@ def main() -> None:
 
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
     rng = np.random.default_rng(0)
-    results = []
-    for n in sizes:
+
+    def time_mesh(n: int, batch: int) -> float:
+        """frames/s of the fused extractor on an n-device data mesh."""
         mesh = Mesh(np.asarray(devices[:n]).reshape(n, 1), ("data", "seq"))
-        b = args.per_device * n
-        iq = rng.standard_normal((b, 2, args.frame_size)).astype(np.float32)
+        iq = rng.standard_normal((batch, 2, args.frame_size)).astype(
+            np.float32
+        )
         arr = jax.device_put(iq, NamedSharding(mesh, P("data")))
         out = extract_features_planar(arr)
         out.block_until_ready()
@@ -70,8 +79,35 @@ def main() -> None:
         for _ in range(args.iters):
             out = extract_features_planar(arr)
         out.block_until_ready()
-        dt = (time.perf_counter() - t0) / args.iters
-        fps = b / dt
+        return batch / ((time.perf_counter() - t0) / args.iters)
+
+    if args.overhead:
+        total = args.per_device * sizes[-1]
+        points = []
+        for n in sizes:
+            fps = time_mesh(n, total)
+            points.append({"devices": n, "frames_per_s": fps})
+            print(
+                f"data={n:3d} dev  batch={total:6d}  {fps:14,.0f} frames/s  "
+                f"vs 1-dev {points[0]['frames_per_s'] / fps:5.2f}x",
+                file=sys.stderr,
+            )
+        overhead = points[0]["frames_per_s"] / points[-1]["frames_per_s"] - 1
+        print(json.dumps({
+            "metric": "partition overhead of fused extraction "
+                      "(fixed total batch; isolates sharding/collective cost "
+                      "on oversubscribed virtual devices)",
+            "total_frames": total,
+            "frame_size": args.frame_size,
+            "points": points,
+            "overhead_at_max_devices": round(overhead, 3),
+        }))
+        return
+
+    results = []
+    for n in sizes:
+        b = args.per_device * n
+        fps = time_mesh(n, b)
         results.append({"devices": n, "frames_per_s": fps})
         base = results[0]["frames_per_s"]
         eff = fps / (n * base)
