@@ -43,7 +43,14 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
     * ``kernel="pallas"``    -> the fused Pallas kernel, shard_map-wrapped
       over ``data`` when the mesh is multi-device (pallas_call is a custom
       call XLA cannot auto-partition);
-    * ``kernel="xla"``       -> the fused XLA program (default).
+    * ``kernel="xla"``       -> the fused XLA program (default). On a
+      multi-device mesh this is also shard_map-wrapped over ``data``:
+      frames are independent, and the SPMD partitioner otherwise
+      ALL-GATHERS the whole batch onto every device for the FFT op
+      (audited on the 8-device mesh — ``tests/test_scaling_audit.py``),
+      turning an embarrassingly parallel program into an O(B*N)
+      collective. shard_map pins the per-shard execution and lowers to
+      zero collectives for every gmax mode.
 
     Returns ``(fn, seq_sharded)``.
     """
@@ -90,6 +97,13 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
             arr, normalize_scale=normalize_scale, gmax_mode=gmax_mode
         )
 
+    data_axis = mesh.axis_names[0]
+    if mesh.shape[data_axis] > 1:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=P(data_axis), out_specs=P(data_axis)
+        )), False
     return fn, False
 
 

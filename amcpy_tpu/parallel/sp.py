@@ -183,5 +183,12 @@ def extract_features_sp(
             (f1, f2, f3, f4, f5, f6, f7, f8, f9), moments, s
         ).astype(i.dtype)
 
+    from jax._src import core as _core
+
+    if not _core.trace_state_clean():
+        # already inside an outer jit trace (e.g. AOT lowering for the
+        # collective audit): set_mesh is illegal there and unnecessary —
+        # the shard_map carries its mesh explicitly.
+        return kernel(iq)
     with jax.set_mesh(mesh):
         return jax.jit(kernel)(iq)
