@@ -394,7 +394,8 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
         n_cls = len(cfg.signals.modulations_with_noise)
         cm_f = confusion_counts(model, state, xs, y_all, n_cls)
         pred_q = quantized_predict(
-            state.params, state.batch_stats, xs, cfg, info, fold_bn=fold
+            state.params, state.batch_stats, xs, cfg, info, fold_bn=fold,
+            arithmetic="int",
         )
         cm_q = np.zeros((n_cls, n_cls), dtype=np.float64)
         np.add.at(cm_q, (np.asarray(y_all), pred_q), 1.0)

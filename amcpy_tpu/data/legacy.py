@@ -81,12 +81,17 @@ def read_gnuradio_stream(
     limit: int | None = None,
 ) -> np.ndarray:
     """Read a GNU Radio ``complex64`` binary capture, skipping the warm-up
-    transient (old/read_binary_stream.py:46-57)."""
-    data = np.fromfile(str(path), dtype=np.complex64)
-    data = data[skip:]
-    if limit is not None:
-        data = data[:limit]
-    return data
+    transient (old/read_binary_stream.py:46-57).
+
+    Bounded IO: ``skip``/``limit`` map to ``np.fromfile(offset=, count=)``
+    so only the requested window is ever read — a multi-GB capture read in
+    chunks costs O(total), not O(total^2)."""
+    return np.fromfile(
+        str(path),
+        dtype=np.complex64,
+        offset=skip * 8,  # complex64 = 8 bytes
+        count=-1 if limit is None else limit,
+    )
 
 
 def frame_stream(

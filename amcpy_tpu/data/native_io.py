@@ -158,7 +158,11 @@ def read_stream_frames(
         from amcpy_tpu.data.legacy import frame_stream, read_gnuradio_stream
         from amcpy_tpu.ops.features import to_planar
 
-        stream = read_gnuradio_stream(path, skip=skip)
+        # Bounded read: only the window this call frames, never the whole
+        # remaining capture (O(total^2) for chunked multi-GB streams).
+        stream = read_gnuradio_stream(
+            path, skip=skip, limit=max_frames * frame_size
+        )
         return to_planar(frame_stream(stream, frame_size, max_frames))
     out = np.empty((max_frames, 2, frame_size), dtype=np.float32)
     got = lib.amc_read_stream_frames(

@@ -279,8 +279,9 @@ def run_extraction_synthetic(
     if logger is None:
         logger = MetricsLogger(cfg.paths.metrics / "run.jsonl")
     s = cfg.signals
+    mesh = make_mesh(cfg)
     kern, _ = _kernel_fn(
-        make_mesh(cfg),
+        mesh,
         cfg.compute.kernel,
         cfg.compute.normalize_scale,
         cfg.compute.gmax_mode,
@@ -320,21 +321,37 @@ def run_extraction_synthetic(
             feats = np.empty(
                 (iq.shape[0], NUM_FEATURES), dtype=np.float32
             )
+            # The shard_map-wrapped kernels require the batch to divide
+            # evenly over the data axis: round the chunk size to a multiple
+            # of the mesh's data-axis device count and pad the final chunk
+            # on device (repeating the last frame), trimming after fetch.
+            n_data = mesh.devices.size // (
+                mesh.shape[mesh.axis_names[-1]]
+                if len(mesh.axis_names) > 1 else 1
+            )
             chunk = max(256, (1 << 23) // s.frame_size)
+            chunk = max(n_data, chunk - chunk % n_data)
             pending = None
             for start in range(0, iq.shape[0], chunk):
-                part = kern(iq[start : start + chunk])
-                if pending is not None:
-                    p_start, p_part = pending
-                    feats[p_start : p_start + p_part.shape[0]] = (
-                        jax.device_get(p_part)
+                part_in = iq[start : start + chunk]
+                orig = part_in.shape[0]
+                rem = (-orig) % n_data
+                if rem:
+                    part_in = jnp.concatenate(
+                        [part_in, jnp.repeat(part_in[-1:], rem, axis=0)]
                     )
-                pending = (start, part)
+                part = kern(part_in)
+                if pending is not None:
+                    p_start, p_orig, p_part = pending
+                    feats[p_start : p_start + p_orig] = jax.device_get(
+                        p_part
+                    )[:p_orig]
+                pending = (start, orig, part)
             if pending is not None:
-                p_start, p_part = pending
-                feats[p_start : p_start + p_part.shape[0]] = jax.device_get(
+                p_start, p_orig, p_part = pending
+                feats[p_start : p_start + p_orig] = jax.device_get(
                     p_part
-                )
+                )[:p_orig]
             rec["frames"] = int(iq.shape[0])
         fps = rec["frames"] / max(rec["wall_s"], 1e-9)
         print(

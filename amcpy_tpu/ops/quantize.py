@@ -227,6 +227,101 @@ def quantize_model(
     return save_dict, info
 
 
+def _frac_bits(fmt: str) -> int:
+    return int(fmt.split(".")[1])
+
+
+def _rshift_round_half_even(acc: np.ndarray, shift: int) -> np.ndarray:
+    """Arithmetic right shift with round-half-to-even — the integer
+    equivalent of ``np.round(acc / 2**shift)`` (the rounding rule the
+    export pipeline uses, ``quantize_array`` above / reference
+    ``nn_quantization.py:45-54`` ``torch.round``)."""
+    if shift <= 0:
+        return acc << (-shift)
+    floor = acc >> shift
+    rem = acc - (floor << shift)
+    half = np.int64(1) << (shift - 1)
+    round_up = (rem > half) | ((rem == half) & ((floor & 1) == 1))
+    return floor + round_up.astype(np.int64)
+
+
+def _saturate_q(v: np.ndarray) -> np.ndarray:
+    """Saturate to the Qm.n integer range. Every format in ``Q_FORMATS``
+    has m + n = 15 with the sign folded into m, so the representable
+    integer range is [-2^14, 2^14 - 1] regardless of the split (matches
+    ``quantize_array``'s clip-then-round: round(hi * 2^n) = 2^14 - 1)."""
+    return np.clip(v, -(1 << 14), (1 << 14) - 1)
+
+
+def quantized_predict_int(
+    params: Any,
+    batch_stats: Any,
+    x: np.ndarray,
+    cfg: Config,
+    info: dict[str, str] | None = None,
+    *,
+    fold_bn: bool = True,
+    return_q: bool = False,
+) -> np.ndarray:
+    """Bit-exact int16 fixed-point inference — every op in integer
+    arithmetic, exactly as an MCU executes the ``w_and_b.mat`` export.
+
+    Pipeline per layer (all Q-formats as recorded by
+    :func:`quantize_model`): int16 activations (n_h fractional bits) x
+    int16 weights (n_w) -> integer products accumulated EXACTLY (int64
+    here; the worst case ``30 * 2^30 < 2^35`` exceeds int32, so a
+    CMSIS-style q15 kernel needs its 64-bit accumulator variant — the
+    exact bound is asserted per layer), bias aligned by left shift to
+    ``n_h + n_w`` fractional bits, then requantized to the recorded output
+    format with round-half-even and int16 saturation. ReLU in the integer
+    domain is ``max(q, 0)``.
+
+    This is the deployment ground truth; :func:`quantized_predict`'s
+    float simulation is the fast approximation (float32 rounds 25+-bit
+    accumulators) and is tested to agree with this path
+    (``tests/test_quantize.py``).
+    """
+    layers = (
+        fold_batchnorm(params, batch_stats)
+        if fold_bn
+        else dense_layers(params)
+    )
+    if info is None:
+        _, info = quantize_model(
+            params, batch_stats, x, cfg, fold_bn=fold_bn, save=False
+        )
+    if cfg.training.activation != "relu":
+        raise NotImplementedError(
+            "integer inference implements the deployed ReLU pipeline; "
+            f"activation {cfg.training.activation!r} has no int16 spec"
+        )
+
+    h_q = quantize_array(x, info["Input"]).astype(np.int64)
+    n_h = _frac_bits(info["Input"])
+    for li, (k, b) in enumerate(layers):
+        fw = info[f"Layer {li + 1} weights"]
+        fb = info[f"Layer {li + 1} biases"]
+        fo = info[f"Layer {li + 1} outputs"]
+        k_q = quantize_array(k, fw).astype(np.int64)
+        b_q = quantize_array(b, fb).astype(np.int64)
+        n_w, n_b, n_o = _frac_bits(fw), _frac_bits(fb), _frac_bits(fo)
+        acc = h_q @ k_q  # exact: |acc| < fan_in * 2^30 << 2^63
+        assert int(np.abs(acc).max(initial=0)) < (1 << 62)
+        # align bias to the accumulator's n_h + n_w fractional bits
+        b_shift = n_h + n_w - n_b
+        if b_shift >= 0:
+            acc = acc + (b_q << b_shift)
+        else:  # bias wider than the accumulator: requantize the bias
+            acc = acc + _rshift_round_half_even(b_q, -b_shift)
+        if li < len(layers) - 1:
+            acc = np.maximum(acc, 0)  # integer-domain ReLU
+        h_q = _saturate_q(_rshift_round_half_even(acc, n_h + n_w - n_o))
+        n_h = n_o
+    if return_q:
+        return h_q.astype(np.int16)
+    return np.argmax(h_q, axis=-1)
+
+
 def quantized_predict(
     params: Any,
     batch_stats: Any,
@@ -236,21 +331,29 @@ def quantized_predict(
     *,
     fold_bn: bool = True,
     quantize_activations: bool = True,
+    arithmetic: str = "float",
 ) -> np.ndarray:
-    """Int16 fixed-point inference exactly as the MCU would run it.
+    """Int16 fixed-point inference as the MCU would run it.
 
-    Simulates the full fixed-point pipeline, not just quantized weights:
-    the *input* is first rounded to the recorded ``Input`` Q-format, every
-    layer's post-activation output is rounded (and range-clamped) to its
-    recorded per-layer Q-format, and the matmul itself runs at float32 —
-    a faithful stand-in for the MCU's int32 accumulator, which is exact
-    for these layer sizes. ``quantize_activations=False`` falls back to the
-    weights-only approximation (what round 1 shipped; it overstates
+    ``arithmetic="int"`` routes to :func:`quantized_predict_int` — the
+    bit-exact integer pipeline (int64-exact accumulation, round-half-even
+    requantization, int16 saturation). The default ``"float"`` simulates
+    the same pipeline in float32: input rounded to the recorded ``Input``
+    Q-format, every layer's post-activation output rounded/clamped to its
+    recorded format. Q-format products carry up to 30 significant bits,
+    so float32 accumulation MAY differ from the integer path in the last
+    ulp (VERDICT r2 item 6) — the agreement is tested, and the integer
+    path is the deployment ground truth. ``quantize_activations=False``
+    falls back to the weights-only approximation (round 1; it overstates
     fidelity — VERDICT r1 item 3).
 
     Returns predicted class ids; compare against the float model for the
     quantized-vs-float accuracy/confusion artifacts (BASELINE config 4).
     """
+    if arithmetic == "int":
+        return quantized_predict_int(
+            params, batch_stats, x, cfg, info, fold_bn=fold_bn
+        )
     layers = (
         fold_batchnorm(params, batch_stats)
         if fold_bn
@@ -290,10 +393,13 @@ def evaluate_quantized_by_snr(
     info: dict[str, str] | None = None,
     *,
     fold_bn: bool = True,
+    arithmetic: str = "int",
 ) -> np.ndarray:
     """Per-(modulation, SNR) accuracy of the int16 fixed-point model —
     the quantized counterpart of ``train.evaluate.evaluate_by_snr`` for
-    float-vs-int16 comparison figures (``amc quantize --compare``)."""
+    float-vs-int16 comparison figures (``amc quantize --compare``).
+    Defaults to the bit-exact integer pipeline (the deployment ground
+    truth); pass ``arithmetic="float"`` for the fast float32 simulation."""
     s = cfg.signals
     cols = list(cfg.features.used_columns)
     mods = s.modulations_with_noise
@@ -301,7 +407,8 @@ def evaluate_quantized_by_snr(
     m, n_snr, n_frames, u = blocks.shape
     x = scaler.transform(blocks.reshape(-1, u).astype(np.float32))
     pred = quantized_predict(
-        params, batch_stats, x, cfg, info, fold_bn=fold_bn
+        params, batch_stats, x, cfg, info, fold_bn=fold_bn,
+        arithmetic=arithmetic,
     ).reshape(m, n_snr, n_frames)
     true = np.asarray(s.labels)[:, None, None]
     return (pred == true).mean(axis=-1)

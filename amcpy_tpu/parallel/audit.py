@@ -34,21 +34,27 @@ COLLECTIVE_OPS = (
 )
 
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
-_INSTR_RE = re.compile(r"%?[\w.\-]+\s*=\s*(.+?)\s+([a-z\-]+?)(-start)?\(")
+# Instructions may appear as computation roots ("ROOT %x = ...").
+_INSTR_RE = re.compile(
+    r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.+?)\s+([a-z\-]+?)(-start)?\("
+)
+
+
+def _shape_bytes_one(token: tuple[str, str]) -> int:
+    """Byte size of a single ``(dtype, dims)`` shape token."""
+    dtype, dims = token
+    if dtype not in _DTYPE_BYTES:
+        return 0
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dtype]
 
 
 def _shape_bytes(text: str) -> int:
     """Sum byte sizes of every ``dtype[dims]`` shape token in ``text``."""
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(text):
-        if dtype not in _DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+    return sum(_shape_bytes_one(t) for t in _SHAPE_RE.findall(text))
 
 
 def audit_collectives(hlo_text: str) -> dict[str, dict]:
@@ -63,12 +69,21 @@ def audit_collectives(hlo_text: str) -> dict[str, dict]:
         m = _INSTR_RE.match(line.strip())
         if not m:
             continue
-        shapes, op = m.group(1), m.group(2)
+        shapes, op, is_start = m.group(1), m.group(2), m.group(3)
         if op.endswith("-done") or op not in COLLECTIVE_OPS:
             continue
+        if is_start:
+            # An async "-start" output is a tuple holding BOTH the operand
+            # and result buffers — count only the result (the last shape
+            # token), or the operand/result would be double-counted.
+            tokens = _SHAPE_RE.findall(shapes)
+            known = [t for t in tokens if t[0] in _DTYPE_BYTES]
+            nbytes = _shape_bytes_one(known[-1]) if known else 0
+        else:
+            nbytes = _shape_bytes(shapes)
         rec = out.setdefault(op, {"count": 0, "bytes": 0})
         rec["count"] += 1
-        rec["bytes"] += _shape_bytes(shapes)
+        rec["bytes"] += nbytes
     return out
 
 

@@ -183,12 +183,16 @@ def extract_features_sp(
             (f1, f2, f3, f4, f5, f6, f7, f8, f9), moments, s
         ).astype(i.dtype)
 
-    from jax._src import core as _core
-
-    if not _core.trace_state_clean():
-        # already inside an outer jit trace (e.g. AOT lowering for the
-        # collective audit): set_mesh is illegal there and unnecessary —
-        # the shard_map carries its mesh explicitly.
+    try:
+        # Private but the only way to detect "already inside an outer jit
+        # trace" (e.g. AOT lowering for the collective audit), where
+        # set_mesh is illegal and unnecessary — the shard_map carries its
+        # mesh explicitly. Guarded: if the symbol moves in a future JAX,
+        # fall back to treating the trace state as clean.
+        from jax._src.core import trace_state_clean as _tsc
+    except ImportError:  # pragma: no cover - depends on JAX version
+        _tsc = None
+    if _tsc is not None and not _tsc():
         return kernel(iq)
     with jax.set_mesh(mesh):
         return jax.jit(kernel)(iq)

@@ -139,7 +139,6 @@ def main() -> None:
     pspec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=repl),
         (variables["params"], variables["batch_stats"], opt_state))
-    key = jax.ShapeDtypeStruct((), jnp.uint32, sharding=repl)
     key = jax.ShapeDtypeStruct(
         jax.random.key(0).shape, jax.random.key(0).dtype, sharding=repl)
     hlo_tr = (jax.jit(train_step)

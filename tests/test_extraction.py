@@ -184,6 +184,25 @@ def test_run_extraction_recovers_corrupt_artifact(tiny_cfg):
     np.testing.assert_array_equal(second["QPSK"], first["QPSK"])
 
 
+def test_run_extraction_synthetic_non_divisible_batch(tmp_path):
+    """Per-mod batches that don't divide the device count (here 5 SNRs x
+    4 frames = 20 on 8 devices) must pad, not raise (ADVICE r2 item 1)."""
+    from amcpy_tpu.extraction import run_extraction_synthetic
+
+    cfg = Config().replace(
+        paths={"root": str(tmp_path)},
+        signals={
+            "frame_size": 128,
+            "num_frames": 4,
+            "snr_db": (0, 4, 8, 12, 16),
+        },
+    )
+    dev = run_extraction_synthetic(cfg, seed=2)
+    for mod, feats in dev.items():
+        assert feats.shape == (5, 4, 18)
+        assert np.isfinite(feats).all(), mod
+
+
 def test_run_extraction_synthetic_matches_host_path(tiny_cfg):
     """On-device generate->extract == host generate + extract (same seed)."""
     from amcpy_tpu.extraction import run_extraction_synthetic

@@ -65,6 +65,62 @@ def test_standardize_matches_numpy(native_available):
     )
 
 
+def test_fallback_stream_reads_are_bounded(monkeypatch, tmp_path):
+    """The NumPy fallback must read only the requested window of a capture
+    larger than one chunk (offset/count-bounded ``np.fromfile``), and the
+    chunked reads must tile the capture exactly like one full read."""
+    import importlib
+
+    monkeypatch.setenv("AMCPY_NO_NATIVE", "1")
+    import amcpy_tpu.data.native_io as nio
+
+    importlib.reload(nio)
+    try:
+        rng = np.random.default_rng(7)
+        warmup = np.zeros(100, dtype=np.complex64)
+        n_frames, frame_size = 64, 256
+        payload = (
+            rng.standard_normal(n_frames * frame_size)
+            + 1j * rng.standard_normal(n_frames * frame_size)
+        ).astype(np.complex64)
+        path = tmp_path / "big_capture.bin"
+        np.concatenate([warmup, payload]).tofile(path)
+
+        # Bound check: np.fromfile must be called with a finite count.
+        calls = []
+        orig_fromfile = np.fromfile
+
+        def spy(f, dtype=float, count=-1, offset=0, **kw):
+            calls.append((offset, count))
+            return orig_fromfile(f, dtype=dtype, count=count, offset=offset, **kw)
+
+        monkeypatch.setattr(np, "fromfile", spy)
+
+        chunk_frames = 16
+        chunks = []
+        for start in range(0, n_frames, chunk_frames):
+            chunks.append(
+                nio.read_stream_frames(
+                    path, frame_size,
+                    skip=100 + start * frame_size,
+                    max_frames=chunk_frames,
+                )
+            )
+        got = np.concatenate(chunks)
+        np.testing.assert_array_equal(
+            got, to_planar(payload.reshape(n_frames, frame_size))
+        )
+        assert calls, "fallback did not route through np.fromfile"
+        for offset, count in calls:
+            assert count == chunk_frames * frame_size, (
+                "fallback read the whole remaining capture instead of the "
+                f"requested window (count={count})"
+            )
+    finally:
+        monkeypatch.delenv("AMCPY_NO_NATIVE")
+        importlib.reload(nio)
+
+
 def test_numpy_fallback(monkeypatch, tmp_path):
     """With AMCPY_NO_NATIVE the pure-NumPy path must serve everything."""
     import importlib

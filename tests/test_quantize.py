@@ -139,6 +139,65 @@ def test_quantized_predict_agrees_with_float(trained_like_state):
     assert agreement > 0.95, f"quantized/float agreement {agreement}"
 
 
+def test_quantized_predict_int_bit_exact_vs_float64_oracle(
+    trained_like_state,
+):
+    """The integer pipeline must be bit-identical to an exact float64
+    simulation of the Q-format spec: quantize input, exact accumulate,
+    bias align, integer ReLU, round-half-even requantize, saturate.
+    float64 is exact here (every intermediate < 2^52)."""
+    from amcpy_tpu.ops.quantize import (
+        fold_batchnorm as _fold,
+        quantized_predict_int,
+    )
+
+    model, params, batch_stats = trained_like_state
+    cfg = Config()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((512, 6)).astype(np.float32)
+    _, info = quantize_model(params, batch_stats, x, cfg, save=False)
+
+    def frac(fmt):
+        return int(fmt.split(".")[1])
+
+    # exact float64 oracle of the integer spec
+    layers = _fold(params, batch_stats)
+    h = quantize_array(x, info["Input"]).astype(np.float64)
+    n_h = frac(info["Input"])
+    for li, (k, b) in enumerate(layers):
+        fw, fb, fo = (
+            info[f"Layer {li + 1} {p}"] for p in ("weights", "biases", "outputs")
+        )
+        kq = quantize_array(k, fw).astype(np.float64)
+        bq = quantize_array(b, fb).astype(np.float64)
+        acc = h @ kq + bq * 2.0 ** (n_h + frac(fw) - frac(fb))
+        if li < len(layers) - 1:
+            acc = np.maximum(acc, 0.0)
+        h = np.clip(
+            np.round(acc / 2.0 ** (n_h + frac(fw) - frac(fo))),
+            -(1 << 14), (1 << 14) - 1,
+        )
+        n_h = frac(fo)
+
+    got_q = quantized_predict_int(
+        params, batch_stats, x, cfg, info, return_q=True
+    )
+    np.testing.assert_array_equal(got_q, h.astype(np.int16))
+
+
+def test_quantized_predict_int_agrees_with_float_sim(trained_like_state):
+    """The float32 simulation is the fast approximation of the integer
+    ground truth — class predictions must agree almost everywhere."""
+    model, params, batch_stats = trained_like_state
+    cfg = Config()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1024, 6)).astype(np.float32)
+    int_pred = quantized_predict(params, batch_stats, x, cfg, arithmetic="int")
+    float_pred = quantized_predict(params, batch_stats, x, cfg)
+    agreement = (int_pred == float_pred).mean()
+    assert agreement > 0.99, f"int/float sim agreement {agreement}"
+
+
 def test_full_mode_final_layer_range_covers_negative_logits(
     trained_like_state,
 ):

@@ -41,6 +41,31 @@ def test_audit_parses_known_hlo():
     assert audit, "expected at least one collective in a cross-shard sum"
 
 
+def test_audit_counts_root_instructions():
+    """A collective at a computation ROOT must still be counted
+    (ADVICE r2 item 2)."""
+    hlo = (
+        "  %a = f32[8,4] all-reduce(f32[8,4] %x), replica_groups={}\n"
+        "  ROOT %b = f32[8,4] all-reduce(f32[8,4] %a), replica_groups={}\n"
+    )
+    audit = audit_collectives(hlo)
+    assert audit["all-reduce"]["count"] == 2
+    assert audit["all-reduce"]["bytes"] == 2 * 8 * 4 * 4
+
+
+def test_audit_start_counts_result_only():
+    """Async '-start' outputs are (operand, result) tuples; only the
+    result buffer is new traffic (ADVICE r2 item 3)."""
+    hlo = (
+        "  %ag = (f32[1,4], f32[8,4]) all-gather-start(f32[1,4] %x), "
+        "dimensions={0}\n"
+        "  ROOT %d = f32[8,4] all-gather-done((f32[1,4], f32[8,4]) %ag)\n"
+    )
+    audit = audit_collectives(hlo)
+    assert audit["all-gather"]["count"] == 1
+    assert audit["all-gather"]["bytes"] == 8 * 4 * 4  # result only
+
+
 def test_data_sharded_extraction_is_collective_free():
     """The PRODUCT route (extraction._kernel_fn) must stay partition-local
     for every gmax mode. Raw `extract_features_planar` under the SPMD
