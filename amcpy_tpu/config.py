@@ -245,9 +245,13 @@ class ComputeConfig:
     # (~2x faster than XLA's FFT on TPU, bench-verified), "fft" = XLA FFT.
     gmax_mode: str = "matmul"
     # Feature-extraction kernel: "xla" = fused XLA program (default),
-    # "pallas" = single-VMEM-pass Pallas/Mosaic kernel. Ignored when the
-    # mesh has a seq axis > 1 (the sequence-parallel shard_map kernel is
-    # used then). All three are conformance-tested against the same oracle.
+    # "fused" = full-fusion Pallas/Mosaic kernel (stats + in-kernel MXU
+    # matmul-DFT in one VMEM pass; fastest on TPU, bench r3; falls back to
+    # "xla" for frame sizes with no N1 x N2 factorization), "pallas" =
+    # the round-2 single-VMEM-pass kernel with an XLA spectral epilogue.
+    # Ignored when the mesh has a seq axis > 1 (the sequence-parallel
+    # shard_map kernel is used then). All are conformance-tested against
+    # the same float64 oracle.
     kernel: str = "xla"
 
 

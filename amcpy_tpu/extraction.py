@@ -40,9 +40,15 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
 
     * mesh ``seq`` axis > 1  -> the sequence-parallel shard_map kernel
       (``parallel/sp.py``), frames sharded over both axes;
-    * ``kernel="pallas"``    -> the fused Pallas kernel, shard_map-wrapped
-      over ``data`` when the mesh is multi-device (pallas_call is a custom
-      call XLA cannot auto-partition);
+    * ``kernel="fused"``     -> the full-fusion Pallas kernel
+      (``ops/fused.py``: stats + in-kernel MXU matmul-DFT, one VMEM pass,
+      separate I/Q planes — the fastest single-chip kernel, bench r3);
+      falls back to ``xla`` when the frame size has no N1 x N2
+      factorization;
+    * ``kernel="pallas"``    -> the round-2 Pallas kernel (packed planar
+      input, XLA spectral epilogue), shard_map-wrapped over ``data`` when
+      the mesh is multi-device (pallas_call is a custom call XLA cannot
+      auto-partition);
     * ``kernel="xla"``       -> the fused XLA program (default). On a
       multi-device mesh this is also shard_map-wrapped over ``data``:
       frames are independent, and the SPMD partitioner otherwise
@@ -52,7 +58,9 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
       collective. shard_map pins the per-shard execution and lowers to
       zero collectives for every gmax mode.
 
-    Returns ``(fn, seq_sharded)``.
+    Returns ``(fn, seq_sharded, wants_planes)`` — ``wants_planes`` kernels
+    take separate ``(B, N)`` I and Q arrays instead of packed
+    ``(B, 2, N)``.
     """
     seq_sharded = len(mesh.axis_names) > 1 and mesh.shape[mesh.axis_names[-1]] > 1
     if seq_sharded:
@@ -64,7 +72,44 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
                 normalize_scale=normalize_scale, gmax_mode=gmax_mode,
             )
 
-        return fn, True
+        return fn, True, False
+    if kernel == "fused":
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from amcpy_tpu.ops.fft import best_factorization
+        from amcpy_tpu.ops.fused import extract_features_fused
+
+        interpret = jax.default_backend() == "cpu"  # Mosaic is TPU-only
+        base = functools.partial(
+            extract_features_fused,
+            normalize_scale=normalize_scale,
+            interpret=interpret,
+        )
+        data_axis = mesh.axis_names[0]
+        if mesh.shape[data_axis] > 1:
+            inner = jax.shard_map(
+                base, mesh=mesh,
+                in_specs=(P(data_axis), P(data_axis)),
+                out_specs=P(data_axis),
+                check_vma=False,
+            )
+            fused_fn = jax.jit(inner)
+        else:
+            fused_fn = base
+
+        def fn(i, q):
+            # no N1 x N2 factorization (tiny/prime frames): fall back to
+            # the XLA kernel, which handles any N via the FFT
+            if best_factorization(i.shape[-1]) is None:
+                xla_fn, _, _ = _kernel_fn(mesh, "xla", normalize_scale, gmax_mode)
+                import jax.numpy as jnp
+
+                return xla_fn(jnp.stack([i, q], axis=-2))
+            return fused_fn(i, q)
+
+        return fn, False, True
     if kernel == "pallas":
         import functools
 
@@ -87,8 +132,8 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
                 # pallas_call can't declare varying-mesh-axes metadata
                 check_vma=False,
             )
-            return jax.jit(inner), False
-        return base, False
+            return jax.jit(inner), False, False
+        return base, False, False
     if kernel != "xla":
         raise ValueError(f"unknown extraction kernel {kernel!r}")
 
@@ -103,8 +148,8 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
 
         return jax.jit(jax.shard_map(
             fn, mesh=mesh, in_specs=P(data_axis), out_specs=P(data_axis)
-        )), False
-    return fn, False
+        )), False, False
+    return fn, False, False
 
 
 def extract_batch(
@@ -141,7 +186,9 @@ def extract_batch(
         )
         chunk_size = max(256, (1 << 21) // max(frames.shape[-1], 1) * n_data)
     out = np.empty((b, NUM_FEATURES), dtype=np.float32)
-    kern, seq_sharded = _kernel_fn(mesh, kernel, normalize_scale, gmax_mode)
+    kern, seq_sharded, wants_planes = _kernel_fn(
+        mesh, kernel, normalize_scale, gmax_mode
+    )
     from amcpy_tpu.data.native_io import planarize
 
     # Software pipeline: dispatch chunk k+1 before fetching chunk k's
@@ -149,9 +196,17 @@ def extract_batch(
     # the next chunk overlaps the device compute of the current one.
     pending: tuple[int, int, jax.Array] | None = None
     for start in range(0, b, chunk_size):
-        chunk = planarize(frames[start : start + chunk_size])
-        arr, orig = shard_batch(chunk, mesh, seq_sharded=seq_sharded)
-        feats = kern(arr)
+        if wants_planes:
+            from amcpy_tpu.ops.fused import split_planes
+
+            ih, qh = split_planes(frames[start : start + chunk_size])
+            i_arr, orig = shard_batch(ih, mesh)
+            q_arr, _ = shard_batch(qh, mesh)
+            feats = kern(i_arr, q_arr)
+        else:
+            chunk = planarize(frames[start : start + chunk_size])
+            arr, orig = shard_batch(chunk, mesh, seq_sharded=seq_sharded)
+            feats = kern(arr)
         if pending is not None:
             p_start, p_orig, p_feats = pending
             out[p_start : p_start + p_orig] = np.asarray(
@@ -280,7 +335,7 @@ def run_extraction_synthetic(
         logger = MetricsLogger(cfg.paths.metrics / "run.jsonl")
     s = cfg.signals
     mesh = make_mesh(cfg)
-    kern, _ = _kernel_fn(
+    kern, _, wants_planes = _kernel_fn(
         mesh,
         cfg.compute.kernel,
         cfg.compute.normalize_scale,
@@ -340,7 +395,10 @@ def run_extraction_synthetic(
                     part_in = jnp.concatenate(
                         [part_in, jnp.repeat(part_in[-1:], rem, axis=0)]
                     )
-                part = kern(part_in)
+                if wants_planes:
+                    part = kern(part_in[:, 0, :], part_in[:, 1, :])
+                else:
+                    part = kern(part_in)
                 if pending is not None:
                     p_start, p_orig, p_part = pending
                     feats[p_start : p_start + p_orig] = jax.device_get(

@@ -167,17 +167,85 @@ def extract_features_sp(
             "m63": gmean(a2n * a4),
         }
 
-        # ---- gamma_max: reassemble the frame, local spectral kernel ----
+        # ---- gamma_max: distributed two-stage matmul-DFT ----------------
         # Raw i/q (not iu/qu): the DFT is linear, so the s^2-rescale round
         # trip is pure overhead — see ops/features.py for the f32 bound.
+        #
+        # TPU-native shape (VERDICT r2 item 4): with N = N1 x N2 and the
+        # contiguous shard s holding rows n1 in [s*r, (s+1)*r) of the
+        # (N1, N2) sample matrix (r = N1/n_seq), stage 1's contraction
+        # over n1 decomposes into shard-local partial matmuls +
+        # ``psum_scatter`` over the OUTPUT rows k1 — each shard then owns
+        # r rows of the stage-1 result and finishes twiddle + stage 2 +
+        # max locally, with a scalar ``pmax`` at the end. Per-device ICI
+        # traffic is the scattered (B, r, N2) block (~1/n_seq of the
+        # frame) instead of the full-frame all_gather, and each shard does
+        # 1/n_seq of the MXU work instead of redundantly computing the
+        # whole DFT.
         from amcpy_tpu.ops import fft as _fft
 
-        i_full = jax.lax.all_gather(i, seq_axis, axis=-1, tiled=True)
-        q_full = jax.lax.all_gather(q, seq_axis, axis=-1, tiled=True)
-        if gmax_mode == "matmul":
-            f1 = _fft.gmax_matmul(i_full, q_full)
+        fac = (
+            _fft.best_factorization(n_total)
+            if gmax_mode == "matmul"
+            else None
+        )
+        if fac is not None and fac[0] % n_seq == 0 and n_loc > 1:
+            n1, n2 = fac
+            r = n1 // n_seq
+            w1r, w1i, twr, twi, w2r, w2i = (
+                jnp.asarray(t) for t in _fft._dft_tables(n1, n2)
+            )
+            b = i.shape[0]
+            ar = i.reshape(b, r, n2)  # local rows j -> global n1 = s*r + j
+            ai = q.reshape(b, r, n2)
+            w1r_s = jax.lax.dynamic_slice(w1r, (0, sidx * r), (n1, r))
+            w1i_s = jax.lax.dynamic_slice(w1i, (0, sidx * r), (n1, r))
+
+            def dot(w, x):  # (N1, r) x (b, r, N2) -> (b, N1, N2)
+                return jnp.einsum(
+                    "kj,bjm->bkm", w, x,
+                    preferred_element_type=jnp.float32,
+                )
+
+            cr = dot(w1r_s, ar) - dot(w1i_s, ai)
+            ci = dot(w1r_s, ai) + dot(w1i_s, ar)
+            # reduce over shards, scattering the k1 rows: shard s keeps
+            # k1 in [s*r, (s+1)*r)
+            cr = jax.lax.psum_scatter(
+                cr, seq_axis, scatter_dimension=1, tiled=True
+            )
+            ci = jax.lax.psum_scatter(
+                ci, seq_axis, scatter_dimension=1, tiled=True
+            )
+            twr_s = jax.lax.dynamic_slice(twr, (sidx * r, 0), (r, n2))
+            twi_s = jax.lax.dynamic_slice(twi, (sidx * r, 0), (r, n2))
+            dr = cr * twr_s - ci * twi_s
+            di = cr * twi_s + ci * twr_s
+
+            def dot2(x, w):  # (b, r, N2) x (N2, N2) -> (b, r, N2)
+                return jnp.einsum(
+                    "brm,ml->brl", x, w,
+                    preferred_element_type=jnp.float32,
+                )
+
+            xr = dot2(dr, w2r) - dot2(di, w2i)
+            xi = dot2(dr, w2i) + dot2(di, w2r)
+            power = xr * xr + xi * xi
+            f1 = (
+                jax.lax.pmax(
+                    jnp.max(power.reshape(b, r * n2), axis=-1), seq_axis
+                )
+                / n_total
+            )
         else:
-            f1 = _fft.gmax_fft(i_full, q_full)
+            # fallback (fft mode / non-factorizable N): reassemble the
+            # frame per shard and run the local spectral kernel
+            i_full = jax.lax.all_gather(i, seq_axis, axis=-1, tiled=True)
+            q_full = jax.lax.all_gather(q, seq_axis, axis=-1, tiled=True)
+            if gmax_mode == "matmul":
+                f1 = _fft.gmax_matmul(i_full, q_full)
+            else:
+                f1 = _fft.gmax_fft(i_full, q_full)
 
         return _assemble_features(
             (f1, f2, f3, f4, f5, f6, f7, f8, f9), moments, s

@@ -78,7 +78,7 @@ def test_data_sharded_extraction_is_collective_free():
     iq = jax.ShapeDtypeStruct((B, 2, N), jnp.float32,
                               sharding=NamedSharding(mesh, P("data")))
     for gmax_mode in ("matmul", "fft"):
-        kern, seq_sharded = _kernel_fn(mesh, "xla", True, gmax_mode)
+        kern, seq_sharded, _ = _kernel_fn(mesh, "xla", True, gmax_mode)
         assert not seq_sharded
         audit = audit_collectives(_hlo(kern, iq))
         assert audit == {}, (
