@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="bayes = Tree-structured Parzen Estimator (the reference "
              "sweep.yaml method), random = uniform search",
     )
+    sweep_p.add_argument(
+        "--parallel", type=int, default=1,
+        help="trials per round, each training concurrently on its own "
+             "device of the mesh (device-parallel sweep)",
+    )
 
     par_p = sub.add_parser(
         "parity",
@@ -130,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     par_p.add_argument("--no-train", action="store_true",
                        help="skip the downstream accuracy comparison")
     par_p.add_argument("--seed", type=int, default=0)
+    par_p.add_argument(
+        "--seeds", type=int, default=3,
+        help="training seeds per feature set: the accuracy delta is "
+             "diffed on mean curves and compared against seed noise",
+    )
     par_p.add_argument("--processes", type=int, default=None,
                        help="reference-extractor worker processes")
 
@@ -462,7 +472,7 @@ def cmd_sweep(cfg: Config, args: argparse.Namespace) -> None:
     best, _ = run_sweep(
         cfg, x_train, y_train, x_test, y_test,
         spec=spec, n_trials=args.trials, seed=args.seed,
-        method=args.method,
+        method=args.method, parallel=args.parallel,
     )
     print(f"Best trial: {json.dumps(best, indent=2)}")
     best_yaml = cfg.paths.metrics / "sweep_best.yaml"
@@ -505,6 +515,7 @@ def cmd_parity(cfg: Config, args: argparse.Namespace) -> None:
         frames_per_snr=args.frames_per_snr,
         train_models=not args.no_train,
         seed=args.seed,
+        n_seeds=args.seeds,
         processes=args.processes,
     )
     worst = report["worst_error_fraction_of_tolerance"]
@@ -514,11 +525,23 @@ def cmd_parity(cfg: Config, args: argparse.Namespace) -> None:
         f"tolerance (worst {worst * 100:.1f}% of budget)"
     )
     if "accuracy" in report:
+        a = report["accuracy"]
         print(
             "Accuracy parity: max |delta| "
-            f"{report['accuracy']['max_abs_delta'] * 100:.2f} pp per "
-            "(mod, SNR) cell"
+            f"{a['max_abs_delta'] * 100:.2f} pp per (mod, SNR) cell "
+            f"(mean curves over {a.get('n_seeds', 1)} seeds)"
         )
+        if a.get("delta_within_seed_noise") is not None:
+            print(
+                "  -> "
+                + (
+                    "within seed noise"
+                    if a["delta_within_seed_noise"]
+                    else "EXCEEDS seed noise (systematic)"
+                )
+                + f" (3-sigma bound "
+                f"{a['seed_noise_bound_3sigma'] * 100:.2f} pp)"
+            )
 
 
 def cmd_full(cfg: Config, args: argparse.Namespace) -> None:

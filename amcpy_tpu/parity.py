@@ -180,6 +180,7 @@ def run_parity(
     frames_per_snr: int | None = None,
     train_models: bool = True,
     seed: int = 0,
+    n_seeds: int = 3,
     processes: int | None = None,
     atol_scale: float = 1e-4,
     rtol: float = 1e-5,
@@ -266,26 +267,50 @@ def run_parity(
         tcfg = cfg if take == s.num_frames else cfg.replace(
             signals={"num_frames": take}
         )
-        accs = {}
+        # Multi-seed budget (VERDICT r2 item 9): one seed cannot tell a
+        # systematic feature-set effect from training noise at the SNR
+        # waterfall. Train n_seeds per feature set, diff the MEAN curves,
+        # and compare the delta against the measured seed spread.
+        n_seeds = max(1, n_seeds)
+        accs: dict[str, np.ndarray] = {}
         for name, feats in (("reference", feats_ref), ("ours", feats_ours)):
-            x_tr, x_te, y_tr, y_te, scaler = preprocess(feats, tcfg)
-            model, state, hist, _ = train(
-                tcfg, x_tr, y_tr, x_te, y_te, seed=seed
-            )
-            accs[name] = evaluate_by_snr(model, state, scaler, feats, tcfg)
-            print(
-                f"[parity] trained on {name} features: "
-                f"val_acc={hist['val_accuracy'][-1]:.4f}",
-                flush=True,
-            )
-        delta = accs["ours"] - accs["reference"]
+            runs = []
+            for k in range(n_seeds):
+                x_tr, x_te, y_tr, y_te, scaler = preprocess(feats, tcfg)
+                model, state, hist, _ = train(
+                    tcfg, x_tr, y_tr, x_te, y_te, seed=seed + k
+                )
+                runs.append(
+                    evaluate_by_snr(model, state, scaler, feats, tcfg)
+                )
+                print(
+                    f"[parity] trained on {name} features (seed {seed + k}):"
+                    f" val_acc={hist['val_accuracy'][-1]:.4f}",
+                    flush=True,
+                )
+            accs[name] = np.stack(runs)  # (n_seeds, mods, snrs)
+        mean_ours = accs["ours"].mean(axis=0)
+        mean_ref = accs["reference"].mean(axis=0)
+        delta = mean_ours - mean_ref
+        # per-cell seed std, pooled over both feature sets; the std of a
+        # difference of two n-seed means is sqrt(2/n) * sigma_cell
+        cell_std = np.maximum(
+            accs["ours"].std(axis=0), accs["reference"].std(axis=0)
+        )
+        noise_bound = 3.0 * np.sqrt(2.0 / n_seeds) * float(cell_std.max())
         report["accuracy"] = {
-            "per_snr_ours": np.round(accs["ours"], 4).tolist(),
-            "per_snr_reference": np.round(accs["reference"], 4).tolist(),
+            "n_seeds": n_seeds,
+            "per_snr_ours": np.round(mean_ours, 4).tolist(),
+            "per_snr_reference": np.round(mean_ref, 4).tolist(),
             "max_abs_delta": float(np.abs(delta).max()),
             "mean_abs_delta": float(np.abs(delta).mean()),
-            "mean_ours": float(accs["ours"].mean()),
-            "mean_reference": float(accs["reference"].mean()),
+            "mean_ours": float(mean_ours.mean()),
+            "mean_reference": float(mean_ref.mean()),
+            "seed_cell_std_max": float(cell_std.max()),
+            "seed_noise_bound_3sigma": float(noise_bound),
+            "delta_within_seed_noise": bool(
+                np.abs(delta).max() <= max(noise_bound, 1e-9)
+            ) if n_seeds > 1 else None,
         }
 
     report["total_wall_s"] = round(time.perf_counter() - t0, 2)
@@ -320,15 +345,29 @@ def _write_markdown(cfg: Config, r: dict[str, Any]) -> Path:
             "",
             "## Downstream accuracy parity",
             "",
-            "Classifier trained twice with identical hyperparameters and "
-            "seed — once on reference-extracted features, once on ours:",
+            f"Classifier trained with {a.get('n_seeds', 1)} seed(s) per "
+            "feature set (identical hyperparameters) — on reference-"
+            "extracted features and on ours; per-SNR curves are means "
+            "over seeds:",
             "",
             f"- mean per-SNR accuracy: ours {a['mean_ours']:.4f} vs "
             f"reference-features {a['mean_reference']:.4f}",
-            f"- max |delta| over all 96 (mod, SNR) cells: "
+            f"- max |delta| of the mean curves over all (mod, SNR) cells: "
             f"**{a['max_abs_delta'] * 100:.2f} pp**",
             f"- mean |delta|: {a['mean_abs_delta'] * 100:.2f} pp",
         ]
+        if a.get("n_seeds", 1) > 1:
+            verdict = (
+                "WITHIN seed noise"
+                if a.get("delta_within_seed_noise")
+                else "EXCEEDS seed noise (systematic)"
+            )
+            lines += [
+                f"- per-cell seed std (max): "
+                f"{a['seed_cell_std_max'] * 100:.2f} pp; 3-sigma bound on "
+                f"a mean-curve delta: {a['seed_noise_bound_3sigma'] * 100:.2f}"
+                f" pp -> max delta is **{verdict}**",
+            ]
     p = cfg.paths.metrics / "parity_report.md"
     p.write_text("\n".join(lines) + "\n")
     return p

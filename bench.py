@@ -2,37 +2,32 @@
 
 Prints ONE JSON line (last stdout line):
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
-     "kernels": {...}, "roofline": {...}, "config": {...}}
+     "kernels": {...}, "roofline": {...}}
 
 * ``value`` — steady-state device throughput of the best kernel/batch
-  configuration on 2048-sample planar frames (inputs resident in HBM,
-  outputs left on device; matches the pipeline steady state where the
-  dataset is loaded once). The flagship kernel is swept over flat batch
-  sizes 512-4096: batches whose temporaries fit XLA's alternate-memory
-  (VMEM) assignment never round-trip HBM and run 2-4x faster per frame
-  than the 4096 cliff (round-2 finding; extraction.py auto-chunks to ~2M
-  samples/device accordingly). EVERY shipped kernel is measured and
-  reported under "kernels" (VERDICT r1 item 2), plus the 16384-frame
-  scan-chunked path that fixes the round-1 XLA spill (item 5).
+  configuration on 2048-sample frames (inputs resident in HBM, outputs
+  left on device; matches the pipeline steady state where the dataset is
+  loaded once). Every shipped kernel is measured and reported under
+  "kernels" with an error bar.
 * ``vs_baseline`` — ratio against the reference CPU extractor measured on
   THIS host: the per-frame NumPy implementation with the reference's
   recompute-everything structure (InstantaneousValues rebuilt 4x,
   MomentValues 11 moments rebuilt for each of 9 cumulants — see
   /root/reference/src/amcpy/features.py:104-185), single-thread fps scaled
   by cpu_count() as an upper bound on its 6-process/8-thread farm.
-* ``roofline`` — achieved Gsamples/s and HBM-bandwidth fraction for the
-  flagship kernel (the extractor is bandwidth/VPU-bound; the MXU DFT is a
-  minor FLOP term), so regressions are attributable.
+* ``roofline`` — achieved bandwidth/sample-rate context plus the round-3
+  finding: a strict one-HBM-pass Pallas kernel ties the two-pass XLA
+  program, so the extractor is VPU/MXU COMPUTE-bound, not HBM-bound
+  (full decomposition in PROFILE_r3.md).
 
-Timing method: the kernel is looped INSIDE one compiled program
-(``lax.fori_loop``) and the (t_many - t_one)/iters difference cancels
-dispatch/RPC latency. The loop carries a serial data dependence
-(``iq + acc * 1e-30``) so XLA cannot hoist the body
-(loop-invariant-code-motion) — this add fuses into the kernel's first
-elementwise pass and costs no extra HBM traffic, unlike round 1's
-``iq + k * 1e-12`` whose counter-dependent operand materialized an extra
-64 MB temporary per iteration (the BENCH_r01 1.072 ms vs RESULTS_r1
-0.86 ms discrepancy — resolved, see RESULTS_r2.md).
+Timing method (round 3, VERDICT r2 item 3): the kernel is looped INSIDE
+one compiled program (``lax.fori_loop`` with a serial data dependence so
+XLA cannot hoist the body), and the per-iteration time is the SLOPE
+between a short-loop and a long-loop execution. Each quoted number is the
+MEDIAN over >= 7 slope measurements with the IQR reported next to it —
+the tunneled backend shows multi-ms RPC spikes that corrupted min-based
+estimators in earlier rounds (a negative slope was observed; medians of
+long-loop differences are robust to it).
 
 Extra context lines go to stderr; the JSON line is the last stdout line.
 """
@@ -47,9 +42,7 @@ import time
 import numpy as np
 
 FRAME_SIZE = 2048
-BATCH = 4096
-BIG_BATCH = 16384
-ITERS = 30
+REPS = 7
 BASELINE_FRAMES = 32
 
 #: device_kind substring -> (HBM bytes/s, bf16 FLOP/s) peaks
@@ -161,39 +154,47 @@ def measure_cpu_baseline() -> float:
 # ---------------------------------------------------------------------------
 
 
-def _amortized(kern, iqj, batch: int, iters: int) -> float:
-    """Seconds per kernel application, dispatch latency cancelled.
+def _robust_slope(kern, args, batch: int) -> tuple[float, float]:
+    """(median, IQR) seconds per kernel application.
 
-    The loop body depends on the previous iteration's scalar result
-    (``iq + acc * 1e-30``): serial, so XLA cannot hoist it, and the add
-    fuses into the kernel's first pass (no extra HBM materialization).
+    The loop body carries a serial dependence (``a + acc * 1e-30``) so XLA
+    cannot hoist it; the per-iteration cost is the slope between a short
+    and a long in-program loop, which cancels dispatch/RPC latency. Median
+    over REPS slopes: robust to the tunnel's multi-ms RPC spikes (which
+    made min-based estimators report impossible times in rounds 1-2).
     """
     import jax
     import jax.numpy as jnp
 
-    def rep(iq_in, n):
+    # keep each long call ~10-40 ms of device time
+    n_small = max(4, min(20, (1 << 22) // (batch * FRAME_SIZE // 512)))
+    n_big = 5 * n_small
+
+    def rep(a, rest, n):
         def body(_, acc):
-            f = kern(iq_in + acc * jnp.float32(1e-30))
+            f = kern(a + acc * jnp.float32(1e-30), *rest)
             return jnp.sum(f)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    repj = jax.jit(rep, static_argnums=1)
-    float(repj(iqj, 1))           # compile short
-    float(repj(iqj, iters + 1))   # compile long
-    # The tunneled backend shows ~10% run-to-run variance plus occasional
-    # multi-ms RPC spikes. Minimize t_one and t_many SEPARATELY over the
-    # reps, then difference: min-of-differences can go negative when one
-    # t_one measurement catches a spike (observed: -0.42 ms/batch).
-    t_ones, t_manys = [], []
-    for _ in range(3):
+    repj = jax.jit(rep, static_argnums=2)
+    a, rest = args[0], tuple(args[1:])
+    float(repj(a, rest, n_small))
+    float(repj(a, rest, n_big))
+    slopes = []
+    for _ in range(REPS):
         t0 = time.perf_counter()
-        float(repj(iqj, 1))
-        t_ones.append(time.perf_counter() - t0)
+        float(repj(a, rest, n_small))
+        t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(repj(iqj, iters + 1))
-        t_manys.append(time.perf_counter() - t0)
-    return (min(t_manys) - min(t_ones)) / iters
+        float(repj(a, rest, n_big))
+        t2 = time.perf_counter() - t0
+        slopes.append((t2 - t1) / (n_big - n_small))
+    s = np.asarray(slopes)
+    return (
+        float(np.median(s)),
+        float(np.percentile(s, 75) - np.percentile(s, 25)),
+    )
 
 
 def measure_tpu() -> dict:
@@ -204,6 +205,7 @@ def measure_tpu() -> dict:
         extract_features_planar,
         extract_features_planar_scan,
     )
+    from amcpy_tpu.ops.fused import extract_features_fused
     from amcpy_tpu.ops.pallas_features import extract_features_pallas
 
     dev = jax.devices()[0]
@@ -215,67 +217,94 @@ def measure_tpu() -> dict:
     _log(f"[bench] first-sync warmup: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
-    arrs = {
-        b: jax.device_put(
-            rng.standard_normal((b, 2, FRAME_SIZE)).astype(np.float32), dev
+    batches = (512, 1024, 2048, 4096, 16384)
+    planes = {
+        b: (
+            jax.device_put(
+                rng.standard_normal((b, FRAME_SIZE)).astype(np.float32), dev
+            ),
+            jax.device_put(
+                rng.standard_normal((b, FRAME_SIZE)).astype(np.float32), dev
+            ),
         )
-        for b in (512, 1024, 2048, BATCH)
+        for b in batches
     }
-    iqj = arrs[BATCH]
+    packed = {
+        b: jax.device_put(jnp.stack(planes[b], axis=1), dev) for b in batches
+    }
 
     on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev.device_kind)
     kernels = {}
 
-    def bench(label, kern, batch=BATCH, arr=None, iters=ITERS):
-        dt = _amortized(kern, arr if arr is not None else iqj, batch, iters)
-        fps = batch / dt
+    def bench(label, kern, batch, args):
+        med, iqr = _robust_slope(kern, args, batch)
+        fps = batch / med
         kernels[label] = {
-            "ms_per_batch": round(dt * 1e3, 4),
+            "ms_per_batch": round(med * 1e3, 4),
+            "ms_iqr": round(iqr * 1e3, 4),
             "frames_per_s": round(fps, 1),
             "batch": batch,
         }
         _log(
-            f"[bench] {label:32s} {dt * 1e3:8.4f} ms/batch "
-            f"-> {fps:,.0f} frames/s"
+            f"[bench] {label:34s} {med * 1e3:8.4f} ms/batch "
+            f"(IQR {iqr * 1e3:.4f}) -> {fps:,.0f} frames/s"
         )
         return fps
 
-    # flat batch sweep for the flagship kernel — small batches keep the
-    # (B, N) temporaries inside XLA's VMEM assignment (no HBM round trips)
-    for b in (512, 1024, 2048, BATCH):
-        bench(f"xla+matmul-dft @{b}",
-              lambda x: extract_features_planar(x, gmax_mode="matmul"),
-              batch=b, arr=arrs[b], iters=max(ITERS, (BATCH * ITERS) // b))
-    bench("xla+fft @4096",
-          lambda x: extract_features_planar(x, gmax_mode="fft"))
-    # 4096 processed in ONE program via the in-program scan (chunk 1024):
-    # stays under the VMEM cliff, so it clears the 4096-batch bar that the
-    # flat dispatch misses (VERDICT r1 item 5).
-    bench("xla+matmul-dft @4096 scan-chunked",
-          lambda x: extract_features_planar_scan(
-              x, chunk=1024, gmax_mode="matmul"))
+    # --- full-fusion Pallas kernel (flagship candidate), batch sweep ------
     if on_tpu:
-        bench("pallas+matmul-dft @4096",
-              lambda x: extract_features_pallas(
-                  x, tile_b=128, gmax_mode="matmul"))
-    # 16k batch: the round-1 spill case, fixed by the in-program scan
-    iqj2 = jax.device_put(
-        rng.standard_normal((BIG_BATCH, 2, FRAME_SIZE)).astype(np.float32),
-        dev,
+        for b in batches:
+            bench(
+                f"fused @{b}",
+                lambda i, q: extract_features_fused(i, q),
+                b,
+                planes[b],
+            )
+    # --- XLA kernels -------------------------------------------------------
+    for b in (1024, 4096):
+        bench(
+            f"xla+matmul-dft @{b}",
+            lambda x: extract_features_planar(x, gmax_mode="matmul"),
+            b,
+            (packed[b],),
+        )
+    bench(
+        "xla+fft @4096",
+        lambda x: extract_features_planar(x, gmax_mode="fft"),
+        4096,
+        (packed[4096],),
     )
-    bench("16k-flat (r1 spill case)",
-          lambda x: extract_features_planar(x, gmax_mode="matmul"),
-          batch=BIG_BATCH, arr=iqj2, iters=8)
-    bench("16k-scan-chunked",
-          lambda x: extract_features_planar_scan(
-              x, chunk=1024, gmax_mode="matmul"),
-          batch=BIG_BATCH, arr=iqj2, iters=8)
+    # scan-chunked: one compiled program, bounded live memory — the
+    # default shape for very large batches (VERDICT r2 item 2)
+    for b in (4096, 16384):
+        bench(
+            f"xla scan-chunked @{b}",
+            lambda x: extract_features_planar_scan(
+                x, chunk=1024, gmax_mode="matmul"
+            ),
+            b,
+            (packed[b],),
+        )
+    if on_tpu:
+        bench(
+            "pallas(r2)+matmul-dft @4096",
+            lambda x: extract_features_pallas(x, tile_b=64, gmax_mode="matmul"),
+            4096,
+            (packed[4096],),
+        )
 
-    flagship = max(
-        (k for k in kernels if not k.startswith("16k")),
-        key=lambda k: kernels[k]["frames_per_s"],
-    )
+    flagship = max(kernels, key=lambda k: kernels[k]["frames_per_s"])
     fps = kernels[flagship]["frames_per_s"]
+
+    # batch-size flatness of the flagship family (VERDICT r2 item 2)
+    fused_fps = [
+        v["frames_per_s"] for k, v in kernels.items() if k.startswith("fused @")
+    ]
+    flatness = (
+        round(max(fused_fps) / max(min(fused_fps), 1.0), 3)
+        if len(fused_fps) >= 2
+        else None
+    )
 
     # ---- roofline context -------------------------------------------------
     peaks = next(
@@ -291,13 +320,15 @@ def measure_tpu() -> dict:
         "gsamples_per_s": round(gsps, 2),
         "input_bytes_per_batch": bytes_in,
         "achieved_input_gbps": round(bytes_in / dt / 1e9, 1),
+        "bound": "vpu/mxu-compute (one-HBM-pass Pallas ties two-pass XLA; "
+        "see PROFILE_r3.md)",
     }
     if peaks:
         hbm, flops = peaks
         roofline["hbm_peak_gbps"] = round(hbm / 1e9, 0)
-        # single-pass-over-input fraction: >1 pass of traffic per byte of
-        # input is the fusion headroom
-        roofline["effective_hbm_passes"] = round(hbm * dt / bytes_in, 1)
+        roofline["hbm_fraction"] = round(bytes_in / dt / hbm, 3)
+    if flatness is not None:
+        roofline["fused_batch_flatness_max_over_min"] = flatness
     _log(f"[bench] roofline: {roofline}")
     return {"fps": fps, "kernels": kernels, "roofline": roofline}
 

@@ -47,12 +47,23 @@ def test_parity_cli_end_to_end(tmp_path):
     )
     base = ["--root", str(tmp_path), "--config", str(tmp_path / "cfg.yaml")]
     main(base + ["generate", "--seed", "3"])
-    main(base + ["parity", "--processes", "1", "--frames-per-snr", "4"])
+    main(base + [
+        "parity", "--processes", "1", "--frames-per-snr", "4", "--seeds", "2",
+    ])
     report = json.loads((tmp_path / "metrics" / "parity.json").read_text())
     assert report["frames_total"] == 6 * 16 * 4
     assert report["frames_outside_tolerance"] == 0
     assert report["worst_error_fraction_of_tolerance"] < 1.0
     assert "accuracy" in report
-    # identical training stack + seed on near-identical features
-    assert report["accuracy"]["max_abs_delta"] <= 0.25
+    a = report["accuracy"]
+    # multi-seed budget (VERDICT r2 item 9): near-identical features ->
+    # mean curves over seeds agree within a stated budget, and the report
+    # records the seed-noise comparison
+    assert a["n_seeds"] == 2
+    assert a["max_abs_delta"] <= 0.25
+    assert a["mean_abs_delta"] <= 0.10, (
+        f"mean |delta| {a['mean_abs_delta']:.3f} exceeds the 10 pp budget"
+    )
+    assert a["delta_within_seed_noise"] is not None
+    assert "seed_noise_bound_3sigma" in a
     assert (tmp_path / "metrics" / "parity_report.md").exists()

@@ -70,6 +70,50 @@ def test_run_sweep_two_trials(tmp_path):
     assert json.loads(log[0])["trial"] == 0
 
 
+def test_run_sweep_parallel_matches_sequential(tmp_path):
+    """Device-parallel rounds (trials dispatched concurrently, one device
+    each) must produce the IDENTICAL result set as the sequential sweep
+    for method='random' and the same seed (VERDICT r2 item 7)."""
+    import time as _time
+
+    cfg = Config().replace(
+        paths={"root": str(tmp_path)},
+        training={"epochs": 2, "batch_size": 32},
+    )
+    rng = np.random.default_rng(4)
+    n = 240
+    y = np.repeat(np.arange(6), n // 6).astype(np.int32)
+    x = (rng.standard_normal((n, 6)) + 2.0 * y[:, None]).astype(np.float32)
+    spec = {
+        "epochs": {"values": [2]},
+        "batch_size": {"values": [32]},
+        "dropout": {"values": [0.2, 0.4]},
+        "learning_rate": {"distribution": "uniform", "min": 1e-3, "max": 2e-3},
+        "optimizer": {"values": ["adam"]},
+        "layer_size_hl1": {"distribution": "int_uniform", "min": 6, "max": 12},
+        "layer_size_hl2": {"values": [8]},
+        "layer_size_hl3": {"values": [8]},
+    }
+    args = (cfg, x[:180], y[:180], x[180:], y[180:])
+    kw = dict(spec=spec, n_trials=4, seed=7, method="random")
+    t0 = _time.perf_counter()
+    best_seq, seq = run_sweep(
+        *args, log_path=tmp_path / "seq.jsonl", parallel=1, **kw
+    )
+    t_seq = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    best_par, par = run_sweep(
+        *args, log_path=tmp_path / "par.jsonl", parallel=4, **kw
+    )
+    t_par = _time.perf_counter() - t0
+    assert [t["params"] for t in par] == [t["params"] for t in seq]
+    np.testing.assert_allclose(
+        [t["metric"] for t in par], [t["metric"] for t in seq]
+    )
+    assert best_par["trial"] == best_seq["trial"]
+    print(f"sequential {t_seq:.1f}s vs parallel {t_par:.1f}s")
+
+
 # ---------------------------------------------------------------------------
 # TPE ("bayes") method
 # ---------------------------------------------------------------------------
