@@ -47,7 +47,7 @@ def extract_features_sp(
     data_axis: str | None = None,
     seq_axis: str | None = None,
     normalize_scale: bool = True,
-    gmax_mode: str = "fft",
+    gmax_mode: str = "matmul",
 ) -> jax.Array:
     """Extract all 18 features from ``(B, 2, N)`` planar frames whose
     sample axis is sharded over the mesh's ``seq`` axis.

@@ -43,8 +43,8 @@ def main() -> None:
                     help="global frames per extraction step")
     ap.add_argument("--frame-size", type=int, default=2048)
     ap.add_argument(
-        "--chip-frames-per-s", type=float, default=8.37e6,
-        help="measured single-chip extraction rate (BENCH_r02 flagship)")
+        "--chip-frames-per-s", type=float, default=7.87e6,
+        help="measured single-chip extraction rate (BENCH_r03 flagship, fused kernel)")
     ap.add_argument(
         "--ici-gbps", type=float, default=186.0,
         help="per-chip ICI bandwidth, GB/s (v5e: 4 links x ~46.5 GB/s)")
@@ -186,7 +186,7 @@ def main() -> None:
 
     print("## 2. Analytic weak-scaling bound on TPU ICI")
     print()
-    print(f"Single-chip extraction rate (BENCH_r02 flagship): "
+    print(f"Single-chip extraction rate (BENCH_r03 flagship, fused kernel): "
           f"{args.chip_frames_per_s:,.0f} frames/s -> per-device step time "
           f"{chip_t_ms:.3f} ms at {args.batch}/{n} frames/device. "
           f"ICI per chip (v5e, 4 links): ~{args.ici_gbps:.0f} GB/s.")
@@ -206,13 +206,18 @@ def main() -> None:
               f"{eff * 100:.1f}% |")
     print()
     print("Sequence parallelism is a *capacity* feature (frames too long "
-          "for one device's memory), not a throughput feature: its traffic "
-          "is dominated by the tiled `all_gather` that re-assembles the "
-          "frame for gamma_max — a *global* spectral feature needs every "
-          "sample, so ~2x frame bytes of ICI per frame is inherent, and "
-          "the per-frame stats still scale collective-free (the psums "
-          "above total 28 KB for 1024 frames). For ordinary frame sizes "
-          "the pipeline auto-routes to the data-sharded path.")
+          "for one device's memory), not a throughput feature. Round 3 "
+          "replaced the round-2 full-frame `all_gather` (each shard then "
+          "redundantly computed the whole DFT) with a DISTRIBUTED "
+          "two-stage matmul-DFT: shard-local stage-1 partial matmuls, a "
+          "`reduce-scatter` of the stage-1 output rows (~1/n_seq of the "
+          "frame per device), shard-local twiddle + stage-2 + max, and a "
+          "scalar pmax — so both the ICI bytes AND the MXU work now "
+          "divide by the seq-axis size (audit above; "
+          "tests/test_scaling_audit.py pins the budget and forbids the "
+          "all_gather). gamma_max is a global spectral feature, so some "
+          "cross-shard exchange is inherent; the stats remain "
+          "collective-free partial-sum psums.")
     print()
     print("The extraction path — where >99% of the pipeline's FLOPs live — "
           "lowers to **zero** collectives under pure data sharding, so its "
