@@ -254,8 +254,9 @@ once.
   bandwidth floor, and only ~{r["full_xla_default"]["ms"] / r["fused_one_hbm_pass"]["ms"]:.2f}x
   faster than the two-pass XLA program.
 * If HBM re-reads had been binding, collapsing 7.3 passes to 1 would have
-  approached the 7x headroom. It recovered ~25%. **The extractor is
-  VPU/MXU compute-bound.**
+  approached the 7x headroom. It recovered
+  {(r["full_xla_default"]["ms"] / r["fused_one_hbm_pass"]["ms"] - 1) * 100:.0f}%.
+  **The extractor is VPU/MXU compute-bound.**
 
 Where the compute goes:
 
