@@ -251,8 +251,9 @@ class ComputeConfig:
     # the round-2 single-VMEM-pass kernel with an XLA spectral epilogue.
     # Ignored when the mesh has a seq axis > 1 (the sequence-parallel
     # shard_map kernel is used then). All are conformance-tested against
-    # the same float64 oracle.
-    kernel: str = "xla"
+    # the same float64 oracle. "auto" (default) = "fused" on accelerator
+    # backends with a probed fallback to "xla", plain "xla" on CPU.
+    kernel: str = "auto"
 
 
 # ---------------------------------------------------------------------------

@@ -31,6 +31,33 @@ from amcpy_tpu.utils.metrics import MetricsLogger, stage_timer
 
 __all__ = ["extract_batch", "run_extraction", "run_extraction_synthetic"]
 
+_FUSED_PROBE_CACHE: dict[int, bool] = {}
+
+
+def _fused_compiles(frame_size: int, interpret: bool) -> bool:
+    """Probe (once per frame size) that the fused Mosaic kernel compiles
+    and runs on this backend. Interpret mode always works."""
+    if interpret:
+        return True
+    ok = _FUSED_PROBE_CACHE.get(frame_size)
+    if ok is None:
+        import jax.numpy as jnp
+
+        from amcpy_tpu.ops.fused import extract_features_fused
+
+        try:
+            z = jnp.zeros((8, frame_size), jnp.float32)
+            jax.block_until_ready(extract_features_fused(z, z))
+            ok = True
+        except Exception as exc:  # pragma: no cover - backend-specific
+            print(
+                f"[extraction] fused kernel unavailable for N={frame_size} "
+                f"({type(exc).__name__}); using the XLA kernel"
+            )
+            ok = False
+        _FUSED_PROBE_CACHE[frame_size] = ok
+    return ok
+
 
 def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
     """Resolve the per-chunk extractor for the configured kernel + mesh.
@@ -61,7 +88,17 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
     Returns ``(fn, seq_sharded, wants_planes)`` — ``wants_planes`` kernels
     take separate ``(B, N)`` I and Q arrays instead of packed
     ``(B, 2, N)``.
+
+    ``kernel="auto"`` (the config default) resolves to the full-fusion
+    Pallas kernel on accelerator backends — the fastest measured
+    single-chip configuration (BENCH r3) — and to the XLA kernel on CPU
+    (where Pallas only runs interpreted). The fused path additionally
+    probes its Mosaic compile once per frame size and silently falls
+    back to XLA if the lowering fails, so an exotic shape can never
+    break extraction.
     """
+    if kernel == "auto":
+        kernel = "fused" if jax.default_backend() != "cpu" else "xla"
     seq_sharded = len(mesh.axis_names) > 1 and mesh.shape[mesh.axis_names[-1]] > 1
     if seq_sharded:
         from amcpy_tpu.parallel.sp import extract_features_sp
@@ -88,21 +125,25 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
             interpret=interpret,
         )
         data_axis = mesh.axis_names[0]
-        if mesh.shape[data_axis] > 1:
-            inner = jax.shard_map(
-                base, mesh=mesh,
-                in_specs=(P(data_axis), P(data_axis)),
-                out_specs=P(data_axis),
-                check_vma=False,
-            )
-            fused_fn = jax.jit(inner)
-        else:
-            fused_fn = base
+        # ALWAYS shard_map (even on a 1-device mesh): pallas_call requires
+        # every mesh axis to be Manual, and the pipeline's explicit-axis
+        # meshes would otherwise reject it outright
+        inner = jax.shard_map(
+            base, mesh=mesh,
+            in_specs=(P(data_axis), P(data_axis)),
+            out_specs=P(data_axis),
+            check_vma=False,
+        )
+        fused_fn = jax.jit(inner)
 
         def fn(i, q):
-            # no N1 x N2 factorization (tiny/prime frames): fall back to
-            # the XLA kernel, which handles any N via the FFT
-            if best_factorization(i.shape[-1]) is None:
+            # fall back to the XLA kernel (handles any N via the FFT)
+            # when the frame has no N1 x N2 factorization, or if the
+            # Mosaic compile probe fails on this backend/shape
+            n = i.shape[-1]
+            if best_factorization(n) is None or not _fused_compiles(
+                n, interpret
+            ):
                 xla_fn, _, _ = _kernel_fn(mesh, "xla", normalize_scale, gmax_mode)
                 import jax.numpy as jnp
 
@@ -125,15 +166,15 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
             interpret=interpret,
         )
         data_axis = mesh.axis_names[0]
-        if mesh.shape[data_axis] > 1:
-            inner = jax.shard_map(
-                base, mesh=mesh,
-                in_specs=P(data_axis), out_specs=P(data_axis),
-                # pallas_call can't declare varying-mesh-axes metadata
-                check_vma=False,
-            )
-            return jax.jit(inner), False, False
-        return base, False, False
+        # ALWAYS shard_map (even 1-device): pallas_call requires Manual
+        # mesh axes; see the fused branch above
+        inner = jax.shard_map(
+            base, mesh=mesh,
+            in_specs=P(data_axis), out_specs=P(data_axis),
+            # pallas_call can't declare varying-mesh-axes metadata
+            check_vma=False,
+        )
+        return jax.jit(inner), False, False
     if kernel != "xla":
         raise ValueError(f"unknown extraction kernel {kernel!r}")
 
@@ -198,9 +239,17 @@ def extract_batch(
     for start in range(0, b, chunk_size):
         if wants_planes:
             from amcpy_tpu.ops.fused import split_planes
+            from amcpy_tpu.parallel.mesh import pad_to_multiple
 
             ih, qh = split_planes(frames[start : start + chunk_size])
-            i_arr, orig = shard_batch(ih, mesh)
+            # pad to the kernel tile multiple on the HOST: device-side
+            # padding inside the fused kernel would concatenate arrays of
+            # different explicit shardings (rejected under explicit-axis
+            # meshes)
+            n_data = mesh.shape[mesh.axis_names[0]]
+            ih, orig = pad_to_multiple(ih, 64 * n_data)
+            qh, _ = pad_to_multiple(qh, 64 * n_data)
+            i_arr, _ = shard_batch(ih, mesh)
             q_arr, _ = shard_batch(qh, mesh)
             feats = kern(i_arr, q_arr)
         else:

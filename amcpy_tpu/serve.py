@@ -54,7 +54,17 @@ def _pipeline_logits(
     """Fused extract -> standardize -> classify. Module-level so every
     :class:`AMCPipeline` instance with the same architecture/kernel statics
     shares one compiled program (no per-instance recompiles)."""
-    if kernel == "pallas":
+    if kernel == "fused":
+        from amcpy_tpu.ops.fft import best_factorization
+        from amcpy_tpu.ops.fused import extract_features_fused
+
+        if best_factorization(iq.shape[-1]) is not None:
+            feats = extract_features_fused(
+                iq[:, 0, :], iq[:, 1, :], interpret=interpret
+            )
+        else:  # unfactorizable frame size: XLA handles any N
+            feats = extract_features_planar(iq, gmax_mode=gmax_mode)
+    elif kernel == "pallas":
         from amcpy_tpu.ops.pallas_features import extract_features_pallas
 
         feats = extract_features_pallas(
@@ -87,8 +97,14 @@ class AMCPipeline:
         self._cols = jnp.asarray(list(cfg.features.used_columns))
         self._mean = jnp.asarray(scaler.mean, jnp.float32)
         self._std = jnp.asarray(scaler.std, jnp.float32)
+        # "auto" = fused on accelerators, xla on CPU (matches extraction)
+        self._kernel = cfg.compute.kernel
+        if self._kernel == "auto":
+            self._kernel = (
+                "fused" if jax.default_backend() != "cpu" else "xla"
+            )
         self._interpret = (
-            cfg.compute.kernel == "pallas"
+            self._kernel in ("pallas", "fused")
             and jax.default_backend() == "cpu"  # Mosaic is TPU-only
         )
 
@@ -122,7 +138,7 @@ class AMCPipeline:
         return _pipeline_logits(
             self.model, iq, self.params, self.batch_stats,
             self._cols, self._mean, self._std,
-            kernel=self.cfg.compute.kernel,
+            kernel=self._kernel,
             gmax_mode=self.cfg.compute.gmax_mode,
             interpret=self._interpret,
         )
