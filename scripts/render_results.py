@@ -104,6 +104,21 @@ budget with 0 violations). Exact paths remain shipped and tested:
 `gmax_mode="fft"` ({kernels.get("xla+fft @4096", {}).get("ms_per_batch", "—")} ms
 @4096) and `precision="highest"` on the fused kernel.
 
+## Negative results (tried on hardware, not adopted)
+
+* **Divide/mod strength reduction in the Mosaic stats** (reciprocal
+  multiplies for `cn` and `/2π`, floor-based wrap instead of `mod`):
+  no measurable change — Mosaic already strength-reduces these.
+* **Karatsuba 3-mult complex stage-2 DFT** (3 MXU dots per complex
+  product instead of 4): 1.02× in an alternating head-to-head (the DFT
+  is ~15% of the fused kernel, so 25% fewer MXU flops ≈ 2% total,
+  inside the chip's run-to-run wander), with slightly worse f1 error
+  (6.9e-3 vs 3.9e-3 relative) — not worth the table and extra rounding.
+* **Issuing the MXU dots before the VPU stats** inside the kernel (to
+  maximize engine overlap): no difference under the robust estimator —
+  Mosaic's scheduler already interleaves them; an early apparent 2× was
+  traced to RPC-spike corruption of a min-based timing estimator.
+
 ## Reproduce
 
 ```bash
