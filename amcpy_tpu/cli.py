@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("plot", help="Generate feature visualisations")
 
     train_p = sub.add_parser("train", help="Train the neural network")
+    train_p.add_argument(
+        "--model", choices=["mlp", "cnn"], default="mlp",
+        help="mlp = reference-parity feature MLP (needs `amc extract` "
+             "artifacts); cnn = raw-IQ IQConvNet trained straight on "
+             "all_modulations.mat (no feature stage)",
+    )
     train_p.add_argument("--epochs", type=int, default=None)
     train_p.add_argument("--batch-size", type=int, default=None)
     train_p.add_argument("--lr", type=float, default=None)
@@ -243,6 +249,9 @@ def cmd_plot(cfg: Config, args: argparse.Namespace) -> None:
 
 
 def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
+    if getattr(args, "model", "mlp") == "cnn":
+        _cmd_train_cnn(cfg, args)
+        return
     import numpy as np
 
     from amcpy_tpu.data import io_mat
@@ -316,6 +325,113 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
 
 
+def _cmd_train_cnn(cfg: Config, args: argparse.Namespace) -> None:
+    """Train the raw-IQ CNN family straight on the `.mat` dataset.
+
+    No feature-extraction stage: planar frames feed
+    :class:`~amcpy_tpu.models.cnn.IQConvNet` through the same one-dispatch
+    DP training loop, per-SNR eval, plots, and checkpoint machinery as the
+    MLP path. A capability the reference never had — its raw-IQ tooling
+    stopped at dataset slicing (``/root/reference/old/dataset.py:8-65``).
+    """
+    import numpy as np
+
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.graphics import (
+        plot_accuracy_by_snr,
+        plot_confusion_matrix,
+        plot_history,
+    )
+    from amcpy_tpu.models.cnn import IQConvNet
+    from amcpy_tpu.preprocessing import Standardizer, preprocess_raw
+    from amcpy_tpu.train import save_checkpoint, train
+    from amcpy_tpu.train.evaluate import (
+        confusion_counts,
+        evaluate_by_snr_raw,
+        save_figure_data,
+    )
+
+    # the frozen training defaults are the reference's W&B-tuned MLP values
+    # (lr 1.418e-3 RMSprop, config.py:151-176 of the reference); on the CNN
+    # they destabilize eval (measured: val_loss explodes while train acc
+    # climbs). CNN default is Adam 3e-4 unless the user says otherwise.
+    from amcpy_tpu.config import TrainingConfig
+
+    ref = TrainingConfig()
+    cnn_defaults = {}
+    if args.optimizer is None and cfg.training.optimizer == ref.optimizer:
+        cnn_defaults["optimizer"] = "adam"
+    if args.lr is None and cfg.training.learning_rate == ref.learning_rate:
+        cnn_defaults["learning_rate"] = 3e-4
+    if cnn_defaults:
+        cfg = cfg.replace(training=cnn_defaults)
+    cfg = _training_overrides(cfg, args)
+    cfg.paths.ensure_dirs()
+    mat = cfg.paths.mat_data / cfg.paths.mat_filename
+    _require(mat, "run `amc generate` first (or provide all_modulations.mat)")
+    data = io_mat.load_dataset(cfg)
+    x_train, x_test, y_train, y_test = preprocess_raw(data, cfg)
+    n_classes = len(cfg.signals.modulations_with_noise)
+
+    model = IQConvNet(
+        n_classes=n_classes,
+        dropout=args.dropout if args.dropout is not None else 0.5,
+    )
+    initial = None
+    prior_history: dict[str, list[float]] = {}
+    if getattr(args, "resume", None):
+        from amcpy_tpu.train import load_checkpoint
+
+        model, prev, _, meta = load_checkpoint(cfg, args.resume)
+        initial = (
+            prev.params, prev.batch_stats, prev.opt_state,
+            int(meta.get("epoch") or 0),
+        )
+        prior_history = meta.get("history") or {}
+        print(f"Resuming from {args.resume} at epoch {initial[3]}")
+    model, state, history, model_id = train(
+        cfg, x_train, y_train, x_test, y_test, initial=initial, model=model
+    )
+    if prior_history:
+        history = {
+            k: list(prior_history.get(k, [])) + list(v)
+            for k, v in history.items()
+        }
+    # the CNN is per-frame scale-invariant: persist an identity scaler so
+    # every checkpoint consumer sees the same sidecar schema
+    scaler = Standardizer(
+        mean=np.zeros(1, np.float32), std=np.ones(1, np.float32)
+    )
+    model_meta = {
+        "family": "cnn",
+        "input_shape": [2, cfg.signals.frame_size],
+        "arch": {
+            "channels": list(model.channels),
+            "kernel_sizes": list(model.kernel_sizes),
+            "strides": list(model.strides),
+            "dense": model.dense,
+            "dropout": model.dropout,
+            "dtype": model.dtype,
+        },
+    }
+    save_checkpoint(
+        cfg, model_id, state, scaler, history, cfg.training.epochs,
+        model_meta=model_meta,
+    )
+    print(f"Model saved -> {cfg.paths.trained_ann}/model-{model_id}.msgpack")
+
+    from amcpy_tpu.parallel.mesh import is_primary
+
+    acc = evaluate_by_snr_raw(model, state, data, cfg)
+    cm = confusion_counts(model, state, x_test, y_test, n_classes, chunk=4096)
+    if is_primary():
+        save_figure_data(cfg, model_id, acc)
+        plot_accuracy_by_snr(acc, model_id, cfg)
+        plot_confusion_matrix(cm, model_id, cfg)
+        plot_history(history, model_id, cfg)
+    print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
+
+
 def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.data import io_mat
     from amcpy_tpu.graphics import plot_accuracy_by_snr, plot_confusion_matrix
@@ -329,7 +445,10 @@ def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.train.evaluate import save_figure_data
 
     model_id = resolve_model_id(cfg, args.model_id)
-    model, state, scaler, _ = load_checkpoint(cfg, model_id)
+    model, state, scaler, meta = load_checkpoint(cfg, model_id)
+    if (meta["config"].get("model") or {}).get("family") == "cnn":
+        _cmd_eval_cnn(cfg, args, model, state, model_id)
+        return
     features = {
         m: io_mat.load_features(cfg, m)
         for m in cfg.signals.modulations_with_noise
@@ -351,6 +470,36 @@ def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
 
 
+def _cmd_eval_cnn(cfg: Config, args, model, state, model_id: str) -> None:
+    """Per-SNR + confusion evaluation for a raw-IQ CNN checkpoint."""
+    import numpy as np
+
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.graphics import plot_accuracy_by_snr, plot_confusion_matrix
+    from amcpy_tpu.parallel.mesh import is_primary
+    from amcpy_tpu.preprocessing import build_raw_dataset
+    from amcpy_tpu.train.evaluate import (
+        confusion_counts,
+        evaluate_by_snr_raw,
+        save_figure_data,
+    )
+
+    mat = cfg.paths.mat_data / cfg.paths.mat_filename
+    _require(mat, "run `amc generate` first (or provide all_modulations.mat)")
+    data = io_mat.load_dataset(cfg)
+    acc = evaluate_by_snr_raw(model, state, data, cfg)
+    x, y = build_raw_dataset(data, cfg, args.mode)
+    cm = confusion_counts(
+        model, state, x, y, len(cfg.signals.modulations_with_noise),
+        chunk=4096,
+    )
+    if is_primary():
+        save_figure_data(cfg, model_id, acc)
+        plot_accuracy_by_snr(acc, model_id, cfg)
+        plot_confusion_matrix(cm, model_id, cfg)
+    print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
+
+
 def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
     import numpy as np
 
@@ -360,7 +509,14 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.train import load_checkpoint, resolve_model_id
 
     model_id = resolve_model_id(cfg, args.model_id)
-    model, state, scaler, _ = load_checkpoint(cfg, model_id)
+    model, state, scaler, meta = load_checkpoint(cfg, model_id)
+    if (meta["config"].get("model") or {}).get("family") == "cnn":
+        raise SystemExit(
+            "amc quantize targets the feature-MLP/MCU deployment path "
+            "(Q-format Dense export); checkpoint "
+            f"{model_id} is a raw-IQ CNN. Train with --model mlp to "
+            "produce a quantizable model."
+        )
     features = {
         m: io_mat.load_features(cfg, m)
         for m in cfg.signals.modulations_with_noise

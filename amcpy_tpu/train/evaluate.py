@@ -24,7 +24,12 @@ from amcpy_tpu.train.training import (
     predict_logits_global,
 )
 
-__all__ = ["evaluate_by_snr", "confusion_counts", "save_figure_data"]
+__all__ = [
+    "evaluate_by_snr",
+    "evaluate_by_snr_raw",
+    "confusion_counts",
+    "save_figure_data",
+]
 
 
 def _logits_np(model, state, x) -> np.ndarray:
@@ -63,17 +68,66 @@ def evaluate_by_snr(
     return (pred == true).mean(axis=-1)
 
 
+def evaluate_by_snr_raw(
+    model,
+    state: TrainState,
+    data: dict[str, np.ndarray],
+    cfg: Config,
+    chunk: int = 4096,
+) -> np.ndarray:
+    """Per-(modulation, SNR) accuracy of a raw-IQ model (CNN family).
+
+    ``data`` maps modulation -> ``(num_snr, num_frames, frame_size)``
+    complex frames (the raw ``all_modulations.mat`` layout — no feature
+    extraction stage). Frames stream to the device in fixed ``chunk``-row
+    planar batches (the ragged tail is padded, so exactly one program is
+    compiled) to bound HBM residency: the full default dataset is 1.6 GB
+    planar, which has no reason to sit on device all at once.
+    """
+    from amcpy_tpu.ops.features import to_planar
+
+    s = cfg.signals
+    mods = s.modulations_with_noise
+    acc = np.zeros((len(mods), s.num_snr), dtype=np.float64)
+    for mod_idx, mod in enumerate(mods):
+        frames = np.asarray(data[mod])  # (S, F, N) complex
+        n_snr, n_frames, n = frames.shape
+        x = to_planar(frames.reshape(-1, n))  # (S*F, 2, N) f32
+        pred = _predict_classes(model, state, x, chunk).reshape(
+            n_snr, n_frames
+        )
+        acc[mod_idx] = (pred == s.labels[mod_idx]).mean(axis=-1)
+    return acc
+
+
+def _predict_classes(model, state, x: np.ndarray, chunk: int | None) -> np.ndarray:
+    """argmax class per row; fixed-size padded chunks when ``chunk`` is set
+    (one compiled program, bounded HBM residency for big raw-IQ batches)."""
+    if chunk is None or x.shape[0] <= chunk:
+        return np.argmax(_logits_np(model, state, x), -1)
+    preds = []
+    for start in range(0, x.shape[0], chunk):
+        xb = x[start : start + chunk]
+        rows = xb.shape[0]
+        if rows < chunk:
+            xb = np.concatenate(
+                [xb, np.zeros((chunk - rows, *x.shape[1:]), x.dtype)]
+            )
+        preds.append(np.argmax(_logits_np(model, state, xb), -1)[:rows])
+    return np.concatenate(preds)
+
+
 def confusion_counts(
-    model: AMCClassifier,
+    model,
     state: TrainState,
     x: np.ndarray,
     y: np.ndarray,
     n_classes: int,
+    chunk: int | None = None,
 ) -> np.ndarray:
     """Row-normalized confusion matrix (true x predicted), 2 decimals —
     matching the reference presentation (``nn_model.py:302-305``)."""
-    logits = _logits_np(model, state, x)
-    pred = np.argmax(logits, -1)
+    pred = _predict_classes(model, state, np.asarray(x), chunk)
     cm = np.zeros((n_classes, n_classes), dtype=np.float64)
     np.add.at(cm, (np.asarray(y), pred), 1.0)
     return np.around(cm / np.maximum(cm.sum(axis=1, keepdims=True), 1), 2)

@@ -121,15 +121,16 @@ def _epoch_fn(
 
     def epoch(state, x_train, y_train, x_test, y_test, key):
         perm_key, scan_key = jax.random.split(key)
-        n, f = x_train.shape
+        n = x_train.shape[0]
+        feat = x_train.shape[1:]  # (features,) for the MLP, (2, N) raw IQ
         local = n // n_shards
         bs_local = batch_size // n_shards
         # pin the shard axis explicitly: XLA's propagation may otherwise
         # leave the data axis on the (divisible) local dim, making the
         # downstream per-shard gather ambiguous (seen on 1-device meshes)
         xg = jax.sharding.reshard(
-            x_train.reshape(n_shards, local, f),
-            NamedSharding(mesh, P(data_axis, None, None)),
+            x_train.reshape(n_shards, local, *feat),
+            NamedSharding(mesh, P(data_axis, *([None] * (1 + len(feat))))),
         )
         yg = jax.sharding.reshard(
             y_train.reshape(n_shards, local),
@@ -140,12 +141,14 @@ def _epoch_fn(
         # wrap so every epoch covers >= the full dataset with static shapes
         take = n_batches * bs_local
         perml = perml[:, jnp.mod(jnp.arange(take), local)]
-        xp = jnp.take_along_axis(xg, perml[:, :, None], axis=1)
+        idx = perml.reshape(n_shards, take, *([1] * len(feat)))
+        xp = jnp.take_along_axis(xg, idx, axis=1)
         yp = jnp.take_along_axis(yg, perml, axis=1)
+        feat_axes = tuple(range(3, 3 + len(feat)))
         xb = (
-            xp.reshape(n_shards, n_batches, bs_local, f)
-            .transpose(1, 0, 2, 3)
-            .reshape(n_batches, batch_size, f)
+            xp.reshape(n_shards, n_batches, bs_local, *feat)
+            .transpose(1, 0, 2, *feat_axes)
+            .reshape(n_batches, batch_size, *feat)
         )
         yb = (
             yp.reshape(n_shards, n_batches, bs_local)
@@ -187,11 +190,18 @@ def train(
     seed: int | None = None,
     logger: MetricsLogger | None = None,
     initial: tuple[Any, Any, Any, int] | None = None,
-) -> tuple[AMCClassifier, TrainState, dict[str, list[float]], str]:
-    """Train the classifier; returns (model, state, history, model_id).
+    model: Any | None = None,
+) -> tuple[Any, TrainState, dict[str, list[float]], str]:
+    """Train a classifier; returns (model, state, history, model_id).
 
     ``initial`` allows mid-training resume: ``(params, batch_stats,
     opt_state, start_epoch)`` as restored from a checkpoint.
+
+    ``model`` selects the model family: ``None`` builds the reference-parity
+    feature MLP from ``cfg.training``; pass any flax module (e.g.
+    :class:`~amcpy_tpu.models.cnn.IQConvNet` over raw planar IQ) to train
+    it with the same one-dispatch DP epochs. ``x_train``/``x_test`` may be
+    any rank — only the leading (sample) axis is sharded and batched.
     """
     t = cfg.training
     if mesh is None:
@@ -208,12 +218,13 @@ def train(
         raw = multihost_utils.broadcast_one_to_all(raw)
         model_id = bytes(np.asarray(raw)).decode("ascii")
 
-    model = AMCClassifier(
-        n_classes=len(cfg.signals.modulations_with_noise),
-        hidden_sizes=tuple(t.hidden_sizes),
-        dropout=t.dropout,
-        activation=t.activation,
-    )
+    if model is None:
+        model = AMCClassifier(
+            n_classes=len(cfg.signals.modulations_with_noise),
+            hidden_sizes=tuple(t.hidden_sizes),
+            dropout=t.dropout,
+            activation=t.activation,
+        )
     tx = make_optimizer(cfg)
 
     key = jax.random.key(seed)
@@ -221,7 +232,9 @@ def train(
     start_epoch = 0
     if initial is None:
         variables = model.init(
-            init_key, jnp.zeros((1, x_train.shape[1]), jnp.float32), train=False
+            init_key,
+            jnp.zeros((1, *x_train.shape[1:]), jnp.float32),
+            train=False,
         )
         params, batch_stats = variables["params"], variables["batch_stats"]
         opt_state = tx.init(params)

@@ -1,0 +1,192 @@
+"""Raw-IQ CNN model family: forward contract, DP training, checkpoint
+round-trip, and the CLI path (`amc train --model cnn` -> eval).
+
+The reference has no raw-IQ model (its DeepSig tooling stops at dataset
+slicing, ``/root/reference/old/dataset.py:8-65``); these tests pin the new
+family's behaviour on the virtual 8-device CPU mesh."""
+
+import json
+
+import numpy as np
+import pytest
+
+from amcpy_tpu.cli import main
+from amcpy_tpu.config import Config
+from amcpy_tpu.data.synth import generate_dataset as _generate_dataset
+from amcpy_tpu.models.cnn import IQConvNet
+from amcpy_tpu.preprocessing import preprocess_raw
+
+
+def _tiny_cfg(root=None, frame_size=128, num_frames=24, epochs=5):
+    kw = {"paths": {"root": str(root)}} if root else {}
+    return Config().replace(
+        signals={"frame_size": frame_size, "num_frames": num_frames},
+        training={"epochs": epochs, "batch_size": 64},
+        **kw,
+    )
+
+
+def generate_dataset(cfg, seed=0):
+    """Synth data re-keyed by modulation name (the load_dataset contract)."""
+    raw = _generate_dataset(cfg, seed)
+    return {
+        m: raw[cfg.signals.mat_info[m]]
+        for m in cfg.signals.modulations_with_noise
+    }
+
+
+def _small_cnn(n_classes=6, dtype="float32"):
+    # shallow stack so 128-sample test frames keep a useful time axis
+    return IQConvNet(
+        n_classes=n_classes,
+        channels=(16, 32),
+        kernel_sizes=(5, 3),
+        strides=(2, 2),
+        dense=32,
+        dtype=dtype,
+    )
+
+
+def test_forward_contract():
+    import jax
+    import jax.numpy as jnp
+
+    model = _small_cnn()
+    x = np.random.default_rng(0).standard_normal((4, 2, 128)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x), train=False)
+    logits = model.apply(variables, jnp.asarray(x), train=False)
+    assert logits.shape == (4, 6)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(logits)))
+    # per-frame RMS normalization => scale invariance of the forward pass
+    scaled = model.apply(variables, jnp.asarray(x) * 37.5, train=False)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(scaled), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_train_cnn_learns_on_synthetic():
+    from amcpy_tpu.train import train
+
+    cfg = _tiny_cfg()
+    data = generate_dataset(cfg, seed=3)
+    x_train, x_test, y_train, y_test = preprocess_raw(data, cfg)
+    assert x_train.shape[1:] == (2, 128)
+    model, state, history, _ = train(
+        cfg, x_train, y_train, x_test, y_test, model=_small_cnn()
+    )
+    assert history["loss"][-1] < history["loss"][0]
+    # high-SNR synthetic frames are separable well above chance
+    assert history["val_accuracy"][-1] > 1.0 / 6.0
+
+
+def test_cnn_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from amcpy_tpu.preprocessing import Standardizer
+    from amcpy_tpu.train import load_checkpoint, save_checkpoint, train
+    from amcpy_tpu.train.training import predict_logits
+
+    cfg = _tiny_cfg(tmp_path, epochs=2)
+    data = generate_dataset(cfg, seed=1)
+    x_train, x_test, y_train, y_test = preprocess_raw(data, cfg)
+    model = _small_cnn()
+    model, state, history, model_id = train(
+        cfg, x_train, y_train, x_test, y_test, model=model
+    )
+    scaler = Standardizer(np.zeros(1, np.float32), np.ones(1, np.float32))
+    save_checkpoint(
+        cfg, model_id, state, scaler, history, 2,
+        model_meta={
+            "family": "cnn",
+            "input_shape": [2, cfg.signals.frame_size],
+            "arch": {
+                "channels": list(model.channels),
+                "kernel_sizes": list(model.kernel_sizes),
+                "strides": list(model.strides),
+                "dense": model.dense,
+                "dropout": model.dropout,
+                "dtype": model.dtype,
+            },
+        },
+    )
+    model2, state2, _, meta = load_checkpoint(cfg, model_id)
+    assert meta["config"]["model"]["family"] == "cnn"
+    assert isinstance(model2, IQConvNet)
+    want = predict_logits(model, state.params, state.batch_stats,
+                          jnp.asarray(x_test[:16]))
+    got = predict_logits(model2, state2.params, state2.batch_stats,
+                         jnp.asarray(x_test[:16]))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+@pytest.fixture(scope="module")
+def cnn_root(tmp_path_factory):
+    return tmp_path_factory.mktemp("amc_cnn")
+
+
+def test_cli_cnn_pipeline(cnn_root):
+    root = cnn_root
+    main(["--root", str(root), "generate", "--seed", "11",
+          "--frames", "24", "--frame-size", "128"])
+    cfg_yaml = root / "cfg.yaml"
+    cfg_yaml.write_text(
+        "signals:\n  num_frames: 24\n  frame_size: 128\n"
+        "training:\n  epochs: 4\n  batch_size: 64\n"
+    )
+    main(["--root", str(root), "--config", str(cfg_yaml), "train",
+          "--model", "cnn", "--seed", "0"])
+    ckpts = list((root / "ann").glob("model-*.msgpack"))
+    assert len(ckpts) == 1
+    model_id = ckpts[0].stem.replace("model-", "")
+    meta = json.loads((root / "ann" / f"model-{model_id}.json").read_text())
+    assert meta["config"]["model"]["family"] == "cnn"
+    assert meta["config"]["model"]["input_shape"] == [2, 128]
+    assert len(meta["history"]["loss"]) == 4
+    for art in (f"cm-{model_id}.png", f"accuracy-{model_id}.png",
+                f"history-{model_id}.png", f"{model_id}_figure_data.mat"):
+        assert (root / "figures" / art).exists()
+
+    # eval resolves the family from the checkpoint, no flag needed
+    main(["--root", str(root), "--config", str(cfg_yaml), "eval", model_id])
+
+    import scipy.io
+
+    acc = scipy.io.loadmat(
+        str(root / "figures" / f"{model_id}_figure_data.mat")
+    )["acc"]
+    assert acc.shape == (6, 16)
+    # the per-sample default stack must beat chance on high-SNR frames
+    # even in this tiny config (see models/cnn.py docstring)
+    assert acc[:, -4:].mean() > 1.0 / 6.0
+
+    # the Q-format MCU export path is MLP-only and must say so
+    with pytest.raises(SystemExit, match="raw-IQ CNN"):
+        main(["--root", str(root), "--config", str(cfg_yaml),
+              "quantize", model_id])
+
+
+def test_cnn_serving_pipeline(cnn_root):
+    """AMCPipeline serves CNN checkpoints: raw planar frames straight into
+    the model, no feature/standardize stage (runs after the CLI test so the
+    newest checkpoint in the module root is the CNN)."""
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.serve import AMCPipeline
+
+    cfg = Config().replace(
+        paths={"root": str(cnn_root)},
+        signals={"frame_size": 128, "num_frames": 24},
+    )
+    pipe = AMCPipeline.from_checkpoint(cfg)
+    raw = io_mat.load_modulation(cfg, "BPSK")[-2:].reshape(-1, 128)
+    preds = pipe.predict(raw)
+    assert preds.shape == (48,)
+    assert set(np.unique(preds)) <= set(range(6))
+    probs = pipe.predict_proba(raw[:4])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    # complex and planar inputs agree bitwise
+    from amcpy_tpu.ops.features import to_planar
+
+    np.testing.assert_array_equal(
+        pipe.predict(raw[:8]), pipe.predict(to_planar(raw[:8]))
+    )
