@@ -97,7 +97,7 @@ def generate_modulation(
     key = jax.random.key(seed)
     if name == "WGN":
         # pure unit-power complex white noise, identical at every "SNR" level
-        noise = np.asarray(
+        noise = _fetch_by_snr(
             jax.random.normal(
                 key,
                 (s.num_snr, s.num_frames, s.frame_size, 2),
@@ -110,7 +110,7 @@ def generate_modulation(
         np.stack([pts_c.real, pts_c.imag], axis=-1), dtype=jnp.float32
     )
     snr = jnp.asarray(cfg.signals.snr_db, dtype=jnp.float32)
-    planar = np.asarray(
+    planar = _fetch_by_snr(
         _gen_frames(
             key,
             pts,
@@ -122,6 +122,16 @@ def generate_modulation(
         )
     )
     return (planar[..., 0] + 1j * planar[..., 1]).astype(np.complex64)
+
+
+def _fetch_by_snr(dev_array) -> np.ndarray:
+    """Device->host fetch in per-SNR slices (bit-identical to one fetch).
+
+    The full default modulation is a 262 MB array; tunneled PJRT backends
+    handle many ~16 MB transfers far more reliably than one giant one."""
+    return np.concatenate(
+        [np.asarray(dev_array[i])[None] for i in range(dev_array.shape[0])]
+    )
 
 
 def generate_dataset(cfg: Config, seed: int = 0) -> dict[str, np.ndarray]:

@@ -123,6 +123,12 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+#: Host->device staging chunk: tunneled PJRT backends move many ~64 MB
+#: transfers far more reliably than one multi-hundred-MB transfer (large
+#: single RPCs have been observed to stall the relay for minutes).
+_STAGE_CHUNK_BYTES = 64 << 20
+
+
 def put_global(x, sharding: NamedSharding) -> jax.Array:
     """Place a host array as a global sharded array — multi-process safe.
 
@@ -131,8 +137,26 @@ def put_global(x, sharding: NamedSharding) -> jax.Array:
     addressable shards. Correct whenever every process holds the SAME host
     array (our pipeline guarantees this: every process reads identical
     feature artifacts), and identical to ``device_put`` single-process.
+
+    Single-process arrays larger than ``_STAGE_CHUNK_BYTES`` are staged in
+    bounded row chunks and concatenated on device (bit-identical result).
     """
     x = np.asarray(x)
+    if (
+        jax.process_count() == 1
+        and x.ndim >= 1
+        and x.shape[0] > 1
+        and x.nbytes > _STAGE_CHUNK_BYTES
+    ):
+        import jax.numpy as jnp
+
+        row_bytes = max(1, x.nbytes // x.shape[0])
+        rows = max(1, _STAGE_CHUNK_BYTES // row_bytes)
+        parts = [
+            jax.device_put(x[i : i + rows])
+            for i in range(0, x.shape[0], rows)
+        ]
+        return jax.device_put(jnp.concatenate(parts, axis=0), sharding)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 

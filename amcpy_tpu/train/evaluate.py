@@ -73,7 +73,7 @@ def evaluate_by_snr_raw(
     state: TrainState,
     data: dict[str, np.ndarray],
     cfg: Config,
-    chunk: int = 4096,
+    chunk: int = 2048,
 ) -> np.ndarray:
     """Per-(modulation, SNR) accuracy of a raw-IQ model (CNN family).
 

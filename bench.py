@@ -293,7 +293,32 @@ def measure_tpu() -> dict:
             (packed[4096],),
         )
 
-    flagship = max(kernels, key=lambda k: kernels[k]["frames_per_s"])
+    # --- raw-IQ CNN family inference (context metric, not the flagship:
+    # it answers "what does the learned-features path cost per frame",
+    # a different workload from the 18-feature extractor). TPU-gated:
+    # batch-4096 bf16 convs are MXU food, not a CPU smoke-run workload.
+    if on_tpu:
+        try:
+            from amcpy_tpu.models.cnn import IQConvNet
+
+            cnn = IQConvNet(n_classes=6)
+            cvars = cnn.init(
+                jax.random.key(0), jnp.zeros((1, 2, FRAME_SIZE), jnp.float32),
+                train=False,
+            )
+            bench(
+                "cnn-iqconvnet infer @4096",
+                lambda x: cnn.apply(cvars, x, train=False),
+                4096,
+                (packed[4096],),
+            )
+        except Exception as e:  # context metric only — never sink the bench
+            _log(f"[bench] cnn entry skipped: {e}")
+
+    flagship = max(
+        (k for k in kernels if not k.startswith("cnn-")),
+        key=lambda k: kernels[k]["frames_per_s"],
+    )
     fps = kernels[flagship]["frames_per_s"]
 
     # batch-size flatness of the flagship family (VERDICT r2 item 2)

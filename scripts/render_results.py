@@ -49,6 +49,37 @@ def main(path: str) -> None:
     }
     flatness = roof.get("fused_batch_flatness_max_over_min")
 
+    # --- optional model-family comparison (metrics/cnn_vs_mlp.json) ------
+    families = ""
+    cmp_path = ROOT / "metrics" / "cnn_vs_mlp.json"
+    if cmp_path.exists():
+        c = json.loads(cmp_path.read_text())
+        cc, mm = c["cnn"], c["mlp"]
+        inf = c.get("cnn_inference", {})
+        inf_line = (
+            f"Raw-IQ inference costs {inf['ms_per_batch']} ms @"
+            f"{inf['batch']} ({fmt_m(inf['frames_per_s'])} frames/s, bf16 "
+            "convs on the MXU)."
+            if inf
+            else ""
+        )
+        families = f"""
+## Model families: raw-IQ CNN vs feature MLP (from `metrics/cnn_vs_mlp.json`)
+
+Both families trained on the same full-scale synthetic dataset
+({c['config']['frames']} frames/SNR x {c['config']['frame_size']}
+samples, {c['config']['epochs']} epochs, {c['config']['seeds']} seeds;
+regenerate with `python scripts/cnn_vs_mlp.py`):
+
+| family | overall acc (all 16 SNR) | high-SNR acc (10..20 dB) |
+|---|---|---|
+| feature MLP (reference-parity) | {mm['overall_mean']:.4f} | {mm['high_snr_mean']:.4f} |
+| raw-IQ CNN (`--model cnn`) | {cc['overall_mean']:.4f} | {cc['high_snr_mean']:.4f} |
+
+{inf_line}
+Figure: `figures/cnn_vs_mlp.png` (per-SNR mean ± std over seeds).
+"""
+
     results = f"""# RESULTS — round 3 (generated from `{Path(path).name}`)
 
 Regenerate with `python scripts/render_results.py {Path(path).name}` —
@@ -103,7 +134,7 @@ frames; `PARITY_r2` ran the full 96k-frame dataset under exactly this
 budget with 0 violations). Exact paths remain shipped and tested:
 `gmax_mode="fft"` ({kernels.get("xla+fft @4096", {}).get("ms_per_batch", "—")} ms
 @4096) and `precision="highest"` on the fused kernel.
-
+{families}
 ## Negative results (tried on hardware, not adopted)
 
 * **Divide/mod strength reduction in the Mosaic stats** (reciprocal
