@@ -80,7 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
     eval_p.add_argument("model_id", nargs="?", default=None)
     eval_p.add_argument(
         "--mode", choices=["training", "test"], default="test",
-        help="training = high-SNR only; test = all SNR",
+        help="with --full-data: training = high-SNR only; test = all SNR",
+    )
+    eval_p.add_argument(
+        "--full-data", action="store_true",
+        help="confusion matrix over the FULL --mode dataset (includes "
+             "trained-on frames; optimistically biased). Default: the "
+             "checkpoint's own held-out split, identical to the CM "
+             "`amc train` reports",
     )
 
     quant_p = sub.add_parser("quantize", help="Quantize model for ARM deployment")
@@ -158,6 +165,30 @@ def _load_config(args: argparse.Namespace) -> Config:
     if args.root:
         cfg = cfg.replace(paths={"root": args.root})
     return cfg
+
+
+def _adopt_checkpoint_training(cfg: Config, args, meta) -> Config:
+    """On ``--resume``, the checkpoint's recorded architecture/optimizer
+    settings become the defaults (explicit CLI flags still win): resuming
+    an rmsprop-trained model without re-passing ``--optimizer rmsprop``
+    must restore an rmsprop optimizer, not rebuild the config default
+    around the restored opt_state (pytree-structure crash or a silent
+    optimizer switch — ADVICE r3)."""
+    t = meta["config"]["training"]
+    over = {}
+    if "hidden_sizes" in t:
+        over["hidden_sizes"] = tuple(t["hidden_sizes"])
+    for flag, key in (
+        ("dropout", "dropout"),
+        ("activation", "activation"),
+        ("optimizer", "optimizer"),
+        ("lr", "learning_rate"),
+        ("seed", "seed"),        # keeps the train/test split identical
+        ("_test_size", "test_size"),
+    ):
+        if getattr(args, flag, None) is None and key in t:
+            over[key] = t[key]
+    return cfg.replace(training=over) if over else cfg
 
 
 def _training_overrides(cfg: Config, args: argparse.Namespace) -> Config:
@@ -280,22 +311,25 @@ def cmd_train(cfg: Config, args: argparse.Namespace) -> None:
         m: io_mat.load_features(cfg, m)
         for m in cfg.signals.modulations_with_noise
     }
-    x_train, x_test, y_train, y_test, scaler = preprocess(features, cfg)
     initial = None
+    prev_scaler = None
     prior_history: dict[str, list[float]] = {}
     if getattr(args, "resume", None):
         from amcpy_tpu.train import load_checkpoint
 
         _, prev, prev_scaler, meta = load_checkpoint(cfg, args.resume)
-        # same feature artifacts => refit standardizer is identical; keep
-        # the checkpoint's copy for the saved model regardless
-        scaler = prev_scaler
+        cfg = _adopt_checkpoint_training(cfg, args, meta)
         initial = (
             prev.params, prev.batch_stats, prev.opt_state,
             int(meta.get("epoch") or 0),
         )
         prior_history = meta.get("history") or {}
         print(f"Resuming from {args.resume} at epoch {initial[3]}")
+    x_train, x_test, y_train, y_test, scaler = preprocess(features, cfg)
+    if prev_scaler is not None:
+        # same feature artifacts => refit standardizer is identical; keep
+        # the checkpoint's copy for the saved model regardless
+        scaler = prev_scaler
     model, state, history, model_id = train(
         cfg, x_train, y_train, x_test, y_test, initial=initial
     )
@@ -370,7 +404,6 @@ def _cmd_train_cnn(cfg: Config, args: argparse.Namespace) -> None:
     mat = cfg.paths.mat_data / cfg.paths.mat_filename
     _require(mat, "run `amc generate` first (or provide all_modulations.mat)")
     data = io_mat.load_dataset(cfg)
-    x_train, x_test, y_train, y_test = preprocess_raw(data, cfg)
     n_classes = len(cfg.signals.modulations_with_noise)
 
     model = IQConvNet(
@@ -383,12 +416,14 @@ def _cmd_train_cnn(cfg: Config, args: argparse.Namespace) -> None:
         from amcpy_tpu.train import load_checkpoint
 
         model, prev, _, meta = load_checkpoint(cfg, args.resume)
+        cfg = _adopt_checkpoint_training(cfg, args, meta)
         initial = (
             prev.params, prev.batch_stats, prev.opt_state,
             int(meta.get("epoch") or 0),
         )
         prior_history = meta.get("history") or {}
         print(f"Resuming from {args.resume} at epoch {initial[3]}")
+    x_train, x_test, y_train, y_test = preprocess_raw(data, cfg)
     model, state, history, model_id = train(
         cfg, x_train, y_train, x_test, y_test, initial=initial, model=model
     )
@@ -432,6 +467,32 @@ def _cmd_train_cnn(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
 
 
+def _eval_cm_dataset(cfg: Config, args, meta, build):
+    """Rows for the eval confusion matrix.
+
+    Default: the checkpoint's OWN held-out split, reproduced from the
+    split provenance recorded in the sidecar (seed + test_size; the
+    stratified split is a pure function of those) — so `amc eval` and
+    `amc train` report the SAME confusion matrix for the same checkpoint.
+    The previous behaviour (full --mode dataset, trained-on frames
+    included — optimistically biased) is kept behind --full-data.
+    Reference eval used x_test only (``main.py:129-137`` ->
+    ``nn_model.py:270-281``).
+    """
+    if getattr(args, "full_data", False):
+        return build(args.mode)
+    from amcpy_tpu.preprocessing import stratified_split_indices
+
+    tmeta = meta["config"]["training"]
+    x, y = build("training")
+    _, te = stratified_split_indices(
+        y,
+        float(tmeta.get("test_size", cfg.training.test_size)),
+        int(tmeta.get("seed", cfg.training.seed)),
+    )
+    return x[te], y[te]
+
+
 def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.data import io_mat
     from amcpy_tpu.graphics import plot_accuracy_by_snr, plot_confusion_matrix
@@ -447,7 +508,7 @@ def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     model_id = resolve_model_id(cfg, args.model_id)
     model, state, scaler, meta = load_checkpoint(cfg, model_id)
     if (meta["config"].get("model") or {}).get("family") == "cnn":
-        _cmd_eval_cnn(cfg, args, model, state, model_id)
+        _cmd_eval_cnn(cfg, args, model, state, model_id, meta)
         return
     features = {
         m: io_mat.load_features(cfg, m)
@@ -456,7 +517,9 @@ def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     from amcpy_tpu.parallel.mesh import is_primary
 
     acc = evaluate_by_snr(model, state, scaler, features, cfg)
-    x, y = build_dataset(features, cfg, args.mode)
+    x, y = _eval_cm_dataset(
+        cfg, args, meta, lambda mode: build_dataset(features, cfg, mode)
+    )
     xs = scaler.transform(x)
     cm = confusion_counts(
         model, state, xs, y, len(cfg.signals.modulations_with_noise)
@@ -470,7 +533,7 @@ def cmd_eval(cfg: Config, args: argparse.Namespace) -> None:
     print(f"Mean accuracy across SNR: {np.mean(acc):.4f}")
 
 
-def _cmd_eval_cnn(cfg: Config, args, model, state, model_id: str) -> None:
+def _cmd_eval_cnn(cfg: Config, args, model, state, model_id: str, meta) -> None:
     """Per-SNR + confusion evaluation for a raw-IQ CNN checkpoint."""
     import numpy as np
 
@@ -488,7 +551,9 @@ def _cmd_eval_cnn(cfg: Config, args, model, state, model_id: str) -> None:
     _require(mat, "run `amc generate` first (or provide all_modulations.mat)")
     data = io_mat.load_dataset(cfg)
     acc = evaluate_by_snr_raw(model, state, data, cfg)
-    x, y = build_raw_dataset(data, cfg, args.mode)
+    x, y = _eval_cm_dataset(
+        cfg, args, meta, lambda mode: build_raw_dataset(data, cfg, mode)
+    )
     cm = confusion_counts(
         model, state, x, y, len(cfg.signals.modulations_with_noise),
         chunk=4096,
@@ -682,21 +747,25 @@ def cmd_parity(cfg: Config, args: argparse.Namespace) -> None:
     )
     if "accuracy" in report:
         a = report["accuracy"]
+        b = a["budget"]
         print(
-            "Accuracy parity: max |delta| "
+            "Accuracy parity (paired seeds): mean |delta| "
+            f"{a['mean_abs_delta'] * 100:.2f} pp, max |delta| "
             f"{a['max_abs_delta'] * 100:.2f} pp per (mod, SNR) cell "
-            f"(mean curves over {a.get('n_seeds', 1)} seeds)"
+            f"({a.get('n_seeds', 1)} paired seeds) -> budget "
+            f"{'PASS' if b['pass'] else 'FAIL'} "
+            f"(mean<={b['mean_pp']}pp, max<={b['max_pp']}pp)"
         )
         if a.get("delta_within_seed_noise") is not None:
             print(
                 "  -> "
                 + (
-                    "within seed noise"
+                    "within paired-seed noise"
                     if a["delta_within_seed_noise"]
-                    else "EXCEEDS seed noise (systematic)"
+                    else "EXCEEDS paired-seed noise (systematic)"
                 )
-                + f" (3-sigma bound "
-                f"{a['seed_noise_bound_3sigma'] * 100:.2f} pp)"
+                + f" ({a['cells_exceeding_noise']}/{a['n_cells']} cells "
+                "over their 3-sigma bound)"
             )
 
 

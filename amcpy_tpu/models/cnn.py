@@ -21,12 +21,20 @@ literature), shaped for the MXU:
 canonical dataset is one constellation symbol per sample with iid AWGN
 (the reference's ``all_modulations.mat`` layout and this framework's
 synthesizer) — there is *no temporal correlation to convolve over*, and a
-wide kernel only averages independent symbols into noise (measured: k=8
-strided stacks sit at chance on held-out frames where the k=1 stack
-reaches >0.8). Pointwise conv blocks + global pooling learn *generalized
-moments* E[f(I,Q)] — exactly the function space of the hand-crafted
-cumulant features (``/root/reference/src/amcpy/features.py:116-185``),
-but learned end-to-end. For pulse-shaped captures (e.g. GNU Radio at
+wide kernel only averages independent symbols into noise (measured on the
+TPU: k=8 strided stacks sit at chance on held-out frames where this k=1
+stack reaches 0.94 held-out val accuracy; the committed evidence is
+``metrics/cnn_vs_mlp.json`` + ``figures/cnn_vs_mlp.png`` — 3 seeds,
+full-scale dataset, held-out per-SNR curves, regenerate with
+``python scripts/cnn_vs_mlp.py`` — and the k=8 negative result is
+``scripts/experiments/README.md``). Pointwise conv blocks + global
+pooling learn *generalized moments* E[f(I,Q)] — exactly the function
+space of the hand-crafted cumulant features
+(``/root/reference/src/amcpy/features.py:116-185``), but learned
+end-to-end. On that evidence the learned family trails the feature MLP
+at low SNR (held-out overall 0.51 vs 0.70) and approaches it at high SNR
+(0.94 vs 0.97) at ~18x the inference cost — the honest trade recorded in
+RESULTS. For pulse-shaped captures (e.g. GNU Radio at
 several samples/symbol, ``/root/reference/old/read_binary_stream.py``)
 pass wider ``kernel_sizes``/``strides`` — the family is fully
 configurable and any stack compiles to the same MXU path.

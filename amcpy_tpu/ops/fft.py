@@ -36,7 +36,9 @@ def gmax_fft(i: jax.Array, q: jax.Array) -> jax.Array:
     )
 
 
-def best_factorization(n: int) -> tuple[int, int] | None:
+def best_factorization(
+    n: int, multiple_of: int = 1
+) -> tuple[int, int] | None:
     """Pick N1 x N2 = n for the two matmul stages.
 
     Bench-verified policy (TPU v5e, N=2048): a SMALL first factor with a
@@ -45,15 +47,23 @@ def best_factorization(n: int) -> tuple[int, int] | None:
     long N2 axis keeps the second matmul's lane dimension wide. N2 is
     capped at 512 so the DFT table stays ~4 MB. None when n has no
     factorization with both factors >= 8.
+
+    ``multiple_of`` — additionally require ``n1 % multiple_of == 0`` (the
+    sequence-parallel distributed DFT needs n1 divisible by the seq-axis
+    size so each shard owns whole stage-1 row blocks, ``parallel/sp.py``);
+    preference order is otherwise unchanged. Returns None if no
+    factorization satisfies it — callers fall back to ``multiple_of=1``.
     """
     start = max(8, -(-n // 512))  # smallest n1 with n2 = n/n1 <= 512
-    for n1 in range(start, int(np.sqrt(n)) + 1):
-        if n % n1 == 0 and n // n1 >= 8:
-            return (n1, n // n1)
-    # fall back: any factorization with both factors >= 8
-    for n1 in range(8, int(np.sqrt(n)) + 1):
-        if n % n1 == 0 and n // n1 >= 8:
-            return (n1, n // n1)
+    limit = int(np.sqrt(n)) if multiple_of <= int(np.sqrt(n)) else n // 8
+    for lo in (start, 8):  # prefer n2 <= 512; then any with both >= 8
+        for n1 in range(lo, limit + 1):
+            if (
+                n % n1 == 0
+                and n // n1 >= 8
+                and n1 % multiple_of == 0
+            ):
+                return (n1, n // n1)
     return None
 
 

@@ -123,41 +123,84 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-#: Host->device staging chunk: tunneled PJRT backends move many ~64 MB
+#: Host->device staging chunk: tunneled PJRT backends move many bounded
 #: transfers far more reliably than one multi-hundred-MB transfer (large
 #: single RPCs have been observed to stall the relay for minutes).
-_STAGE_CHUNK_BYTES = 64 << 20
+_STAGE_CHUNK_BYTES = int(
+    os.environ.get("AMCPY_H2D_CHUNK_BYTES", str(16 << 20))
+)
+
+#: Concurrent H2D streams for staged uploads. Measured on the tunneled
+#: v5e backend (scripts/host_path_probe.py + stream probes): ONE stream
+#: moves ~11-14 MB/s while 8-16 concurrent 8-16 MB streams aggregate
+#: ~28-44 MB/s — the relay multiplexes connections, so parallel puts are
+#: the single biggest end-to-end extraction lever. On direct-attached
+#: TPUs (multi-GB/s DMA) the staged path only triggers past
+#: ``_STAGE_CHUNK_BYTES`` and threading costs nothing measurable.
+_H2D_STREAMS = int(os.environ.get("AMCPY_H2D_STREAMS", "8"))
 
 
 def put_global(x, sharding: NamedSharding) -> jax.Array:
     """Place a host array as a global sharded array — multi-process safe.
 
     ``jax.device_put`` rejects shardings that span non-addressable devices;
-    ``make_array_from_callback`` instead asks each process only for its own
-    addressable shards. Correct whenever every process holds the SAME host
-    array (our pipeline guarantees this: every process reads identical
-    feature artifacts), and identical to ``device_put`` single-process.
+    instead each process materializes only its own addressable shards
+    (``make_array_from_callback`` semantics). Correct whenever every
+    process holds the SAME host array (our pipeline guarantees this: every
+    process reads identical feature artifacts), and identical to
+    ``device_put`` single-process.
 
-    Single-process arrays larger than ``_STAGE_CHUNK_BYTES`` are staged in
-    bounded row chunks and concatenated on device (bit-identical result).
+    Arrays larger than ``_STAGE_CHUNK_BYTES`` are staged **shard-aware**:
+    each addressable shard's rows are uploaded in bounded chunks DIRECTLY
+    to that shard's device and concatenated there, so (a) no single RPC
+    exceeds the chunk bound (large transfers stall tunneled PJRT relays)
+    and (b) peak per-device residency stays shard-sized — the round-3
+    implementation concatenated the FULL array on the default device
+    before resharding, which OOMed exactly the multi-device datasets
+    sharding exists for (ADVICE r3 / VERDICT r3 item 6).
     """
     x = np.asarray(x)
-    if (
-        jax.process_count() == 1
-        and x.ndim >= 1
-        and x.shape[0] > 1
-        and x.nbytes > _STAGE_CHUNK_BYTES
-    ):
-        import jax.numpy as jnp
+    if x.nbytes <= _STAGE_CHUNK_BYTES or x.ndim < 1 or x.shape[0] <= 1:
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+    import concurrent.futures as cf
 
-        row_bytes = max(1, x.nbytes // x.shape[0])
+    import jax.numpy as jnp
+
+    # flatten every (device, row-chunk) upload into one job list and run
+    # them over _H2D_STREAMS concurrent streams
+    jobs: list[tuple[int, int, np.ndarray, object]] = []  # (shard, pos, data, dev)
+    shard_devs = list(sharding.addressable_devices_indices_map(x.shape).items())
+    for si, (dev, idx) in enumerate(shard_devs):
+        part = x[idx]
+        row_bytes = max(1, part.nbytes // max(part.shape[0], 1))
         rows = max(1, _STAGE_CHUNK_BYTES // row_bytes)
-        parts = [
-            jax.device_put(x[i : i + rows])
-            for i in range(0, x.shape[0], rows)
-        ]
-        return jax.device_put(jnp.concatenate(parts, axis=0), sharding)
-    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+        for pi, i in enumerate(range(0, part.shape[0], rows)):
+            jobs.append((si, pi, part[i : i + rows], dev))
+
+    def _upload(job):
+        si, pi, data, dev = job
+        arr = jax.device_put(np.ascontiguousarray(data), dev)
+        arr.block_until_ready()
+        return si, pi, arr
+
+    pieces: dict[int, list[tuple[int, jax.Array]]] = {}
+    if len(jobs) > 1 and _H2D_STREAMS > 1:
+        with cf.ThreadPoolExecutor(min(_H2D_STREAMS, len(jobs))) as ex:
+            for si, pi, arr in ex.map(_upload, jobs):
+                pieces.setdefault(si, []).append((pi, arr))
+    else:
+        for job in jobs:
+            si, pi, arr = _upload(job)
+            pieces.setdefault(si, []).append((pi, arr))
+    shards = []
+    for si in range(len(shard_devs)):
+        parts = [a for _, a in sorted(pieces[si], key=lambda t: t[0])]
+        shards.append(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
+    return jax.make_array_from_single_device_arrays(
+        x.shape, sharding, shards
+    )
 
 
 def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
@@ -174,13 +217,16 @@ def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
 def shard_batch(
     batch: np.ndarray, mesh: Mesh, *, seq_sharded: bool = False
 ) -> tuple[jax.Array, int]:
-    """Pad + device_put a host batch with the canonical sharding.
+    """Pad + place a host batch with the canonical sharding.
 
     Returns the sharded device array and the original (unpadded) size.
+    Placement goes through :func:`put_global`, so large batches ride the
+    multi-stream staged upload path (the tunneled-backend wire scales
+    with concurrent puts — see ``_H2D_STREAMS``).
     """
     n_data = mesh.shape[mesh.axis_names[0]]
     padded, orig = pad_to_multiple(np.asarray(batch), n_data)
-    arr = jax.device_put(
+    arr = put_global(
         padded,
         batch_sharding(mesh, seq_sharded=seq_sharded, ndim=padded.ndim),
     )

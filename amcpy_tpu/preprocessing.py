@@ -30,6 +30,8 @@ __all__ = [
     "build_dataset",
     "build_raw_dataset",
     "stratified_split",
+    "stratified_split_indices",
+    "train_frame_mask",
     "preprocess",
     "preprocess_raw",
 ]
@@ -127,6 +129,34 @@ def build_raw_dataset(
     return np.concatenate(xs), np.concatenate(ys)
 
 
+def stratified_split_indices(
+    y: np.ndarray,
+    test_size: float,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic stratified split as ``(train_idx, test_idx)`` row
+    indices into the assembled dataset.
+
+    The indices are a pure function of ``(y, test_size, seed)``, so any
+    later consumer (``amc eval``, the parity harness, the CNN-vs-MLP
+    comparison) can reproduce the EXACT held-out set of a checkpoint from
+    its recorded seed — the reference could not (its eval path re-split
+    nothing and simply reused all data, ``main.py:129-137``).
+    """
+    rng = np.random.default_rng(seed)
+    test_idx: list[np.ndarray] = []
+    train_idx: list[np.ndarray] = []
+    for cls in np.unique(y):
+        idx = np.nonzero(y == cls)[0]
+        idx = rng.permutation(idx)
+        n_test = int(round(len(idx) * test_size))
+        test_idx.append(idx[:n_test])
+        train_idx.append(idx[n_test:])
+    tr = rng.permutation(np.concatenate(train_idx))
+    te = rng.permutation(np.concatenate(test_idx))
+    return tr, te
+
+
 def stratified_split(
     x: np.ndarray,
     y: np.ndarray,
@@ -140,48 +170,73 @@ def stratified_split(
     exact index permutation (accuracy parity, not index parity, is the bar;
     documented in SURVEY.md section 7 step 6).
     """
-    rng = np.random.default_rng(seed)
-    test_idx: list[np.ndarray] = []
-    train_idx: list[np.ndarray] = []
-    for cls in np.unique(y):
-        idx = np.nonzero(y == cls)[0]
-        idx = rng.permutation(idx)
-        n_test = int(round(len(idx) * test_size))
-        test_idx.append(idx[:n_test])
-        train_idx.append(idx[n_test:])
-    tr = rng.permutation(np.concatenate(train_idx))
-    te = rng.permutation(np.concatenate(test_idx))
+    tr, te = stratified_split_indices(y, test_size, seed)
     return x[tr], x[te], y[tr], y[te]
+
+
+def train_frame_mask(
+    cfg: Config, train_idx: np.ndarray, mode: str = "training"
+) -> np.ndarray:
+    """Map train-split row indices back to a ``(mods, num_snr, num_frames)``
+    boolean mask of frames seen in training.
+
+    Row order of :func:`build_dataset` / :func:`build_raw_dataset` is
+    (modulation, selected-snr, frame), so a flat row index decomposes
+    exactly. Used to restrict per-SNR evaluation to held-out frames
+    (frames at non-training SNR levels were never trained on and stay
+    unmasked).
+    """
+    t = cfg.training
+    snr_sel = list(t.training_snr if mode == "training" else t.all_snr)
+    n_mods = len(cfg.signals.modulations_with_noise)
+    n_f = cfg.signals.num_frames
+    mask = np.zeros((n_mods, cfg.signals.num_snr, n_f), dtype=bool)
+    idx = np.asarray(train_idx)
+    frame = idx % n_f
+    block = idx // n_f
+    snr_i = np.asarray(snr_sel)[block % len(snr_sel)]
+    mod_i = block // len(snr_sel)
+    mask[mod_i, snr_i, frame] = True
+    return mask
 
 
 def preprocess(
     features: dict[str, np.ndarray],
     cfg: Config,
     mode: str = "training",
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, Standardizer]:
+    *,
+    return_indices: bool = False,
+):
     """Full preprocessing: assemble -> standardize -> stratified split.
 
     Returns ``x_train, x_test, y_train, y_test, standardizer`` (mirroring
-    the reference API shape, ``preprocessing.py:13-75``).
+    the reference API shape, ``preprocessing.py:13-75``); with
+    ``return_indices=True`` additionally ``(train_idx, test_idx)`` row
+    indices into the assembled dataset (for held-out evaluation masks).
     """
     x, y = build_dataset(features, cfg, mode)
     scaler = Standardizer.fit(x)
     xs = scaler.transform(x).astype(np.float32)
-    x_train, x_test, y_train, y_test = stratified_split(
-        xs, y, cfg.training.test_size, cfg.training.seed
-    )
-    return x_train, x_test, y_train, y_test, scaler
+    tr, te = stratified_split_indices(y, cfg.training.test_size,
+                                      cfg.training.seed)
+    out = (xs[tr], xs[te], y[tr], y[te], scaler)
+    return out + ((tr, te),) if return_indices else out
 
 
 def preprocess_raw(
     data: dict[str, np.ndarray],
     cfg: Config,
     mode: str = "training",
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    *,
+    return_indices: bool = False,
+):
     """Raw-IQ preprocessing: assemble planar frames -> stratified split.
 
     Same split determinism as :func:`preprocess`; no standardization stage
     (the CNN family is per-frame scale-invariant by construction).
     """
     x, y = build_raw_dataset(data, cfg, mode)
-    return stratified_split(x, y, cfg.training.test_size, cfg.training.seed)
+    tr, te = stratified_split_indices(y, cfg.training.test_size,
+                                      cfg.training.seed)
+    out = (x[tr], x[te], y[tr], y[te])
+    return out + ((tr, te),) if return_indices else out

@@ -142,15 +142,29 @@ class AMCPipeline:
             )
         return jnp.asarray(frames, jnp.float32)
 
+    #: smallest compiled batch bucket; arbitrary sizes pad up to the next
+    #: power of two, so N distinct request sizes trigger at most
+    #: log2(max/min) compiled programs instead of N retraces
+    MIN_BUCKET = 64
+
     def logits(self, frames: np.ndarray) -> jax.Array:
         iq = self._to_device_planar(frames)
-        return _pipeline_logits(
+        b = iq.shape[0]
+        bucket = max(self.MIN_BUCKET, 1 << max(b - 1, 0).bit_length())
+        if bucket != b:
+            # repeat the last frame: numerically benign padding (zero
+            # frames hit 0/0 in the normalized-amplitude stream)
+            iq = jnp.concatenate(
+                [iq, jnp.repeat(iq[-1:], bucket - b, axis=0)]
+            )
+        out = _pipeline_logits(
             self.model, iq, self.params, self.batch_stats,
             self._cols, self._mean, self._std,
             kernel=self._kernel,
             gmax_mode=self.cfg.compute.gmax_mode,
             interpret=self._interpret,
         )
+        return out[:b]
 
     def predict(self, frames: np.ndarray) -> np.ndarray:
         """Predicted class ids, one per frame."""

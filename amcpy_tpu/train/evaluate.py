@@ -49,12 +49,19 @@ def evaluate_by_snr(
     scaler: Standardizer,
     features: dict[str, np.ndarray],
     cfg: Config,
+    exclude_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Accuracy per (modulation, SNR): ``(n_mods, n_snr)`` in [0, 1].
 
     ``features`` maps modulation -> ``(num_snr, num_frames, 18)`` matrices
     (the extraction artifacts). The scaler is the one persisted with the
     checkpoint — not refit (fixes reference defect 5).
+
+    ``exclude_mask`` — optional ``(n_mods, n_snr, n_frames)`` bool marking
+    frames to EXCLUDE from the accuracy (e.g. the training split, from
+    :func:`~amcpy_tpu.preprocessing.train_frame_mask`), so the curve is
+    computed on held-out frames only. Default keeps reference semantics:
+    all frames (``nn_model.py:245-259`` evaluated full 1000-frame blocks).
     """
     s = cfg.signals
     cols = list(cfg.features.used_columns)
@@ -65,7 +72,19 @@ def evaluate_by_snr(
     logits = _logits_np(model, state, x)
     pred = np.argmax(logits, -1).reshape(m, n_snr, n_frames)
     true = np.asarray(cfg.signals.labels)[:, None, None]
-    return (pred == true).mean(axis=-1)
+    return _masked_block_accuracy(pred == true, exclude_mask)
+
+
+def _masked_block_accuracy(
+    correct: np.ndarray, exclude_mask: np.ndarray | None
+) -> np.ndarray:
+    """Mean over the frame axis of ``(M, S, F)`` correctness, optionally
+    restricted to frames NOT in ``exclude_mask``."""
+    if exclude_mask is None:
+        return correct.mean(axis=-1)
+    keep = ~np.asarray(exclude_mask, dtype=bool)
+    n = np.maximum(keep.sum(axis=-1), 1)
+    return (correct & keep).sum(axis=-1) / n
 
 
 def evaluate_by_snr_raw(
@@ -74,6 +93,7 @@ def evaluate_by_snr_raw(
     data: dict[str, np.ndarray],
     cfg: Config,
     chunk: int = 2048,
+    exclude_mask: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-(modulation, SNR) accuracy of a raw-IQ model (CNN family).
 
@@ -83,12 +103,15 @@ def evaluate_by_snr_raw(
     planar batches (the ragged tail is padded, so exactly one program is
     compiled) to bound HBM residency: the full default dataset is 1.6 GB
     planar, which has no reason to sit on device all at once.
+
+    ``exclude_mask`` as in :func:`evaluate_by_snr` — restricts the curve
+    to held-out frames.
     """
     from amcpy_tpu.ops.features import to_planar
 
     s = cfg.signals
     mods = s.modulations_with_noise
-    acc = np.zeros((len(mods), s.num_snr), dtype=np.float64)
+    correct = np.zeros((len(mods), s.num_snr, s.num_frames), dtype=bool)
     for mod_idx, mod in enumerate(mods):
         frames = np.asarray(data[mod])  # (S, F, N) complex
         n_snr, n_frames, n = frames.shape
@@ -96,8 +119,8 @@ def evaluate_by_snr_raw(
         pred = _predict_classes(model, state, x, chunk).reshape(
             n_snr, n_frames
         )
-        acc[mod_idx] = (pred == s.labels[mod_idx]).mean(axis=-1)
-    return acc
+        correct[mod_idx] = pred == s.labels[mod_idx]
+    return _masked_block_accuracy(correct, exclude_mask)
 
 
 def _predict_classes(model, state, x: np.ndarray, chunk: int | None) -> np.ndarray:

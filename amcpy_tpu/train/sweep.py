@@ -224,12 +224,17 @@ def _apply_params(cfg: Config, params: Mapping[str, Any]) -> Config:
     return cfg.replace(training=t)
 
 
-def _trial_mesh(device):
-    """A (1, 1) (data, seq) mesh pinned to ONE device — each concurrent
-    trial trains wholly on its own chip."""
+def _trial_mesh(device, cfg: Config):
+    """A (1, 1) mesh pinned to ONE device — each concurrent trial trains
+    wholly on its own chip. Axis names come from the config (a renamed
+    data/seq axis must propagate here, ADVICE/VERDICT r3 hygiene)."""
     import jax
 
-    return jax.make_mesh((1, 1), ("data", "seq"), devices=[device])
+    return jax.make_mesh(
+        (1, 1),
+        (cfg.compute.data_axis, cfg.compute.seq_axis),
+        devices=[device],
+    )
 
 
 def _run_one_trial(
@@ -354,7 +359,7 @@ def run_sweep(
             rec = _run_one_trial(
                 cfg, round_params[0], trial_idx, seed, metric,
                 x_train, y_train, x_test, y_test,
-                _trial_mesh(devices[0]),
+                _trial_mesh(devices[0], cfg),
             )
             finish(rec)
         else:
@@ -366,7 +371,7 @@ def run_sweep(
                         _run_one_trial,
                         cfg, p, trial_idx + j, seed, metric,
                         x_train, y_train, x_test, y_test,
-                        _trial_mesh(devices[j % len(devices)]),
+                        _trial_mesh(devices[j % len(devices)], cfg),
                     )
                     for j, p in enumerate(round_params)
                 ]

@@ -315,11 +315,24 @@ def measure_tpu() -> dict:
         except Exception as e:  # context metric only — never sink the bench
             _log(f"[bench] cnn entry skipped: {e}")
 
-    flagship = max(
-        (k for k in kernels if not k.startswith("cnn-")),
-        key=lambda k: kernels[k]["frames_per_s"],
-    )
+    # Flagship selection is DISPERSION-GATED (VERDICT r3 item 2): the
+    # quoted number must be reproducible, so a configuration only
+    # qualifies if its IQR is <= 10% of its median; the flagship is the
+    # fastest qualifying configuration. (Round 3's raw-max pick landed on
+    # a 38%-IQR point and the committed number disagreed with the README.)
+    candidates = [k for k in kernels if not k.startswith("cnn-")]
+    gated = [
+        k for k in candidates
+        if kernels[k]["ms_iqr"] <= 0.10 * kernels[k]["ms_per_batch"]
+    ]
+    pool = gated or candidates  # all-noisy fallback: still report, flagged
+    flagship = max(pool, key=lambda k: kernels[k]["frames_per_s"])
     fps = kernels[flagship]["frames_per_s"]
+    _log(
+        f"[bench] flagship {flagship} ({fps:,.0f} frames/s), "
+        f"IQR gate {'PASSED' if gated else 'FAILED - ungated fallback'}; "
+        f"{len(gated)}/{len(candidates)} configs under the 10% gate"
+    )
 
     # batch-size flatness of the flagship family (VERDICT r2 item 2)
     fused_fps = [
@@ -354,8 +367,98 @@ def measure_tpu() -> dict:
         roofline["hbm_fraction"] = round(bytes_in / dt / hbm, 3)
     if flatness is not None:
         roofline["fused_batch_flatness_max_over_min"] = flatness
+    roofline["iqr_gate"] = {
+        "rule": "flagship requires IQR <= 10% of median",
+        "passed": bool(gated),
+        "qualifying": len(gated),
+        "measured": len(candidates),
+    }
     _log(f"[bench] roofline: {roofline}")
     return {"fps": fps, "kernels": kernels, "roofline": roofline}
+
+
+# ---------------------------------------------------------------------------
+# End-to-end host path: .mat on disk -> loadmat -> planarize -> H2D -> kernel
+# ---------------------------------------------------------------------------
+
+#: round-3 committed end-to-end rate (PARITY_r3.md: 96,000 frames through
+#: extract_batch in 261.5 s), the bar VERDICT r3 item 1 set to double
+R3_END_TO_END_FPS = 367.0
+
+
+def measure_end_to_end() -> dict | None:
+    """The REAL product flow the reference runs
+    (``feature_extraction.py:46-99``): read complex frames from a ``.mat``
+    file, planarize, move to the device, extract. One modulation-sized
+    block (16 SNR x 1000 frames x 2048 samples, 262 MB complex64) with the
+    phase breakdown from ``extract_batch(timings=...)``.
+
+    On the tunneled backend this is wire-bound (~11 MB/s single-stream,
+    scaling with parallel streams — scripts/host_path_probe.py), which is
+    exactly why it is measured: the device kernel alone says nothing
+    about the path users actually run.
+    """
+    import tempfile
+
+    import scipy.io
+
+    import jax
+
+    from amcpy_tpu.extraction import extract_batch
+    from amcpy_tpu.parallel.mesh import make_mesh
+
+    n_snr, n_frames, n = 16, 1000, FRAME_SIZE
+    rng = np.random.default_rng(7)
+    frames = (
+        rng.standard_normal((n_snr, n_frames, n), dtype=np.float32)
+        + 1j * rng.standard_normal((n_snr, n_frames, n), dtype=np.float32)
+    ).astype(np.complex64)
+    with tempfile.TemporaryDirectory(prefix="amc_bench_e2e_") as td:
+        path = f"{td}/one_mod.mat"
+        scipy.io.savemat(path, {"signal_test": frames})
+        del frames
+        mesh = make_mesh()
+        kernel = "fused" if jax.default_backend() != "cpu" else "xla"
+
+        def run() -> tuple[float, dict, int]:
+            tim: dict = {}
+            t0 = time.perf_counter()
+            raw = scipy.io.loadmat(path)["signal_test"]
+            t_load = time.perf_counter() - t0
+            flat = np.ascontiguousarray(raw).reshape(-1, n)
+            out = extract_batch(flat, mesh=mesh, kernel=kernel, timings=tim)
+            wall = time.perf_counter() - t0
+            assert out.shape == (n_snr * n_frames, 18)
+            tim["loadmat_s"] = t_load
+            return wall, tim, flat.shape[0]
+
+        run()  # warm (compile + backend first-sync paid by caller)
+        wall, tim, total = run()
+    fps = total / wall
+    rec = {
+        "frames": total,
+        "frame_size": n,
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(fps, 1),
+        "loadmat_s": round(tim["loadmat_s"], 2),
+        "host_prep_s": round(tim.get("host_prep_s", 0.0), 2),
+        "h2d_s": round(tim.get("h2d_s", 0.0), 2),
+        "wait_s": round(tim.get("wait_s", 0.0), 2),
+        "bytes_h2d": int(tim.get("bytes_h2d", 0)),
+        "h2d_gbps": round(
+            tim.get("bytes_h2d", 0)
+            / 1e9
+            / max(tim.get("h2d_s", 0.0) + tim.get("wait_s", 0.0), 1e-9),
+            3,
+        ),
+        "vs_r3_end_to_end": round(fps / R3_END_TO_END_FPS, 2),
+        "note": (
+            ".mat -> loadmat -> planarize -> H2D -> fused kernel; r3 "
+            "committed 367 frames/s on this flow (PARITY_r3.md)"
+        ),
+    }
+    _log(f"[bench] end_to_end: {rec}")
+    return rec
 
 
 def main() -> None:
@@ -369,19 +472,23 @@ def main() -> None:
         pass
     baseline = measure_cpu_baseline()
     r = measure_tpu()
-    print(
-        json.dumps(
-            {
-                "metric": "18-feature extraction throughput "
-                f"({FRAME_SIZE}-sample frames, 1 chip)",
-                "value": round(r["fps"], 1),
-                "unit": "frames/s",
-                "vs_baseline": round(r["fps"] / baseline, 2),
-                "kernels": r["kernels"],
-                "roofline": r["roofline"],
-            }
-        )
-    )
+    try:
+        e2e = measure_end_to_end()
+    except Exception as exc:  # never sink the flagship record
+        _log(f"[bench] end_to_end skipped: {exc!r}")
+        e2e = None
+    rec = {
+        "metric": "18-feature extraction throughput "
+        f"({FRAME_SIZE}-sample frames, 1 chip)",
+        "value": round(r["fps"], 1),
+        "unit": "frames/s",
+        "vs_baseline": round(r["fps"] / baseline, 2),
+        "kernels": r["kernels"],
+        "roofline": r["roofline"],
+    }
+    if e2e is not None:
+        rec["end_to_end"] = e2e
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

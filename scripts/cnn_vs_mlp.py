@@ -2,8 +2,11 @@
 
 Trains both families on the same full-scale synthetic dataset (default
 config: 6 mods x 16 SNR x 1000 frames x 2048 samples), K seeds each, and
-records per-SNR accuracy curves (mean +/- std over seeds) plus the CNN's
-raw-IQ inference throughput. Writes ``metrics/cnn_vs_mlp.json`` and a
+records HELD-OUT per-SNR accuracy curves (mean +/- std over seeds) plus
+the CNN's raw-IQ inference throughput. Per-SNR accuracy excludes every
+frame the model trained on (``train_frame_mask``): training-SNR blocks
+are scored on their 20% held-out frames, non-training SNRs on all frames
+(never seen in training). Writes ``metrics/cnn_vs_mlp.json`` and a
 comparison figure; RESULTS quotes that JSON.
 
 Run on the TPU:  python scripts/cnn_vs_mlp.py [--root DIR] [--seeds K]
@@ -35,7 +38,11 @@ def main() -> None:
     from amcpy_tpu.data import io_mat, synth
     from amcpy_tpu.extraction import run_extraction
     from amcpy_tpu.models.cnn import IQConvNet
-    from amcpy_tpu.preprocessing import preprocess, preprocess_raw
+    from amcpy_tpu.preprocessing import (
+        preprocess,
+        preprocess_raw,
+        train_frame_mask,
+    )
     from amcpy_tpu.train import train
     from amcpy_tpu.train.evaluate import evaluate_by_snr, evaluate_by_snr_raw
 
@@ -64,8 +71,19 @@ def main() -> None:
         }
     }
 
+    # the split is a pure function of (labels, test_size, seed), so the
+    # held-out mask is identical for both families and all train seeds
+    excl = train_frame_mask(cfg, preprocess(
+        features, cfg, return_indices=True
+    )[-1][0])
+    results["config"]["heldout"] = (
+        "per-SNR accuracy excludes all trained-on frames "
+        "(train_frame_mask); val_accuracy is the 20% held-out split"
+    )
+
     for family in ("mlp", "cnn"):
         curves = []
+        val_accs = []
         for seed in range(args.seeds):
             t0 = time.time()
             if family == "mlp":
@@ -73,7 +91,9 @@ def main() -> None:
                 model, state, hist, _ = train(
                     cfg, x_tr, y_tr, x_te, y_te, seed=seed
                 )
-                acc = evaluate_by_snr(model, state, scaler, features, cfg)
+                acc = evaluate_by_snr(
+                    model, state, scaler, features, cfg, exclude_mask=excl
+                )
             else:
                 x_tr, x_te, y_tr, y_te = preprocess_raw(data, cfg)
                 model, state, hist, _ = train(
@@ -82,12 +102,16 @@ def main() -> None:
                         n_classes=len(cfg.signals.modulations_with_noise)
                     ),
                 )
-                acc = evaluate_by_snr_raw(model, state, data, cfg)
+                acc = evaluate_by_snr_raw(
+                    model, state, data, cfg, exclude_mask=excl
+                )
             curves.append(np.asarray(acc))
+            val_accs.append(float(hist["val_accuracy"][-1]))
             print(
                 f"[cnn_vs_mlp] {family} seed {seed}: "
-                f"mean acc {np.mean(acc):.4f} "
-                f"(high-SNR {np.mean(acc[:, -6:]):.4f}) "
+                f"held-out mean acc {np.mean(acc):.4f} "
+                f"(high-SNR {np.mean(acc[:, -6:]):.4f}, "
+                f"val {val_accs[-1]:.4f}) "
                 f"in {time.time() - t0:.1f}s"
             )
         stack = np.stack(curves)  # (seeds, mods, snr)
@@ -97,7 +121,9 @@ def main() -> None:
             "per_snr_std": per_snr.std(axis=0).tolist(),
             "overall_mean": float(stack.mean()),
             "high_snr_mean": float(stack[:, :, -6:].mean()),
-            "val_accuracy_last": float(hist["val_accuracy"][-1]),
+            "val_accuracy_per_seed": val_accs,
+            "val_accuracy_mean": float(np.mean(val_accs)),
+            "val_accuracy_std": float(np.std(val_accs)),
         }
 
     # CNN raw-IQ inference throughput (batch 4096, bf16 convs on the MXU)
@@ -156,10 +182,10 @@ def main() -> None:
             ax.fill_between(snr, m - s, m + s, color=color, alpha=0.2)
         ax.axhline(1 / 6, ls="--", c="gray", label="chance")
         ax.set_xlabel("SNR (dB)")
-        ax.set_ylabel("accuracy (all modulations)")
+        ax.set_ylabel("held-out accuracy (all modulations)")
         ax.set_title(
             f"Raw-IQ CNN vs feature MLP ({args.seeds} seeds, "
-            f"mean +/- std)"
+            f"held-out frames, mean +/- std)"
         )
         ax.legend()
         ax.grid(alpha=0.3)

@@ -174,3 +174,80 @@ def test_info_command(project_root, capsys):
 def test_extract_without_dataset_friendly_error(tmp_path):
     with pytest.raises(SystemExit, match="amc generate"):
         main(["--root", str(tmp_path), "extract"])
+
+
+def test_eval_cm_uses_heldout_split(project_root):
+    """`amc eval` and `amc train` must report the SAME confusion matrix
+    for the same checkpoint: eval reproduces the held-out split from the
+    seed/test_size recorded in the sidecar (VERDICT r3 item 5 — the old
+    eval CM included the 80% trained-on rows)."""
+    import argparse
+
+    from amcpy_tpu.cli import _eval_cm_dataset
+    from amcpy_tpu.config import Config
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.preprocessing import build_dataset, preprocess
+    from amcpy_tpu.train import load_checkpoint, resolve_model_id
+    from amcpy_tpu.train.evaluate import confusion_counts
+
+    cfg = Config.from_yaml(project_root / "cfg.yaml").replace(
+        paths={"root": str(project_root)}
+    )
+    model_id = resolve_model_id(cfg, None)
+    model, state, scaler, meta = load_checkpoint(cfg, model_id)
+    features = {
+        m: io_mat.load_features(cfg, m)
+        for m in cfg.signals.modulations_with_noise
+    }
+    # what amc train reported: CM on its own x_test
+    tcfg = cfg.replace(training={
+        "seed": int(meta["config"]["training"]["seed"]),
+        "test_size": float(meta["config"]["training"]["test_size"]),
+    })
+    _, x_te, _, y_te, _ = preprocess(features, tcfg)
+    cm_train = confusion_counts(model, state, x_te, y_te, 6)
+
+    # what amc eval now computes by default
+    args = argparse.Namespace(mode="test", full_data=False)
+    x, y = _eval_cm_dataset(
+        cfg, args, meta, lambda mode: build_dataset(features, cfg, mode)
+    )
+    cm_eval = confusion_counts(model, state, scaler.transform(x), y, 6)
+    np.testing.assert_array_equal(cm_eval, cm_train)
+
+    # --full-data keeps the old (biased, but labeled) semantics
+    args_full = argparse.Namespace(mode="test", full_data=True)
+    x_f, y_f = _eval_cm_dataset(
+        cfg, args_full, meta, lambda mode: build_dataset(features, cfg, mode)
+    )
+    assert x_f.shape[0] > x.shape[0]
+
+
+def test_resume_adopts_checkpoint_optimizer(project_root):
+    """Resuming without re-passing --optimizer/--lr must restore the
+    checkpoint's recorded optimizer (ADVICE r3: an optimizer switch on
+    resume crashes on the opt-state pytree or silently changes training)."""
+    cfg_yaml = project_root / "cfg.yaml"
+    _run(project_root, "--config", str(cfg_yaml), "train",
+         "--epochs", "3", "--optimizer", "adam", "--lr", "1e-3",
+         "--seed", "3")
+    newest = max(
+        (project_root / "ann").glob("model-*.json"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    adam_id = newest.stem.replace("model-", "")
+    meta = json.loads(newest.read_text())
+    assert meta["config"]["training"]["optimizer"] == "adam"
+
+    # resume with NO optimizer flags: must not rebuild the rmsprop default
+    _run(project_root, "--config", str(cfg_yaml), "train",
+         "--epochs", "5", "--resume", adam_id)
+    newest2 = max(
+        (project_root / "ann").glob("model-*.json"),
+        key=lambda p: p.stat().st_mtime,
+    )
+    meta2 = json.loads(newest2.read_text())
+    assert meta2["config"]["training"]["optimizer"] == "adam"
+    assert meta2["config"]["training"]["learning_rate"] == 1e-3
+    assert meta2["config"]["training"]["seed"] == 3  # split preserved
+    assert len(meta2["history"]["loss"]) == 5

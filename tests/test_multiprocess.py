@@ -27,19 +27,26 @@ def _free_port() -> int:
 
 
 def test_two_process_extract_train_checkpoint(tmp_path):
-    # dataset written once, single-process (both workers read it)
+    """Each worker runs with its OWN root directory — NO shared
+    filesystem between the two 'hosts' (VERDICT r3 item 7): feature
+    artifacts cross hosts over broadcast collectives, and each host
+    persists its own checkpoint copy. Only the input dataset is present
+    on both hosts (each host always has its input data)."""
     from amcpy_tpu.config import Config
     from amcpy_tpu.data import synth
 
-    cfg = Config().replace(
-        paths={"root": str(tmp_path)},
-        signals={"frame_size": 128, "num_frames": 24},
-    )
-    synth.write_dataset(cfg, seed=5)
-    (tmp_path / "cfg.yaml").write_text(
-        "signals:\n  frame_size: 128\n  num_frames: 24\n"
-        "training:\n  epochs: 2\n  batch_size: 64\n"
-    )
+    roots = [tmp_path / "host0", tmp_path / "host1"]
+    for root in roots:
+        root.mkdir()
+        cfg = Config().replace(
+            paths={"root": str(root)},
+            signals={"frame_size": 128, "num_frames": 24},
+        )
+        synth.write_dataset(cfg, seed=5)
+        (root / "cfg.yaml").write_text(
+            "signals:\n  frame_size: 128\n  num_frames: 24\n"
+            "training:\n  epochs: 2\n  batch_size: 64\n"
+        )
 
     port = _free_port()
     env = dict(os.environ)
@@ -57,7 +64,7 @@ def test_two_process_extract_train_checkpoint(tmp_path):
         procs.append(
             subprocess.Popen(
                 [sys.executable, str(REPO / "tests" / "multiprocess_worker.py"),
-                 str(tmp_path)],
+                 str(roots[pid])],
                 env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True,
             )
@@ -74,13 +81,23 @@ def test_two_process_extract_train_checkpoint(tmp_path):
     assert "[BPSK]" in outs[0] and "[BPSK]" not in outs[1]
     assert "[QPSK]" in outs[1] and "[QPSK]" not in outs[0]
 
-    # artifacts: all six feature files + one checkpoint + figures
-    for mod in ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM", "WGN"):
-        assert (tmp_path / "calculated-features" / f"{mod}_features.mat").exists()
-    ckpts = list((tmp_path / "ann").glob("model-*.msgpack"))
-    assert len(ckpts) == 1  # process 0 wrote it exactly once
-    model_id = ckpts[0].stem.replace("model-", "")
-    assert (tmp_path / "figures" / f"accuracy-{model_id}.png").exists()
+    # EVERY host holds all six feature artifacts (its own share from
+    # extraction, the rest from the cross-host broadcast) and its own
+    # checkpoint copy — no shared filesystem existed to lean on
+    for root in roots:
+        for mod in ("BPSK", "QPSK", "8PSK", "16QAM", "64QAM", "WGN"):
+            assert (
+                root / "calculated-features" / f"{mod}_features.mat"
+            ).exists(), f"{root.name} missing {mod}"
+    ids = []
+    for root in roots:
+        ckpts = list((root / "ann").glob("model-*.msgpack"))
+        assert len(ckpts) == 1, f"{root.name}: {ckpts}"
+        ids.append(ckpts[0].stem.replace("model-", ""))
+    assert ids[0] == ids[1]  # same run id on both hosts
+    model_id = ids[0]
+    # figures written by the primary only
+    assert (roots[0] / "figures" / f"accuracy-{model_id}.png").exists()
 
     # both processes trained the same replicated model (identical history)
     import re
@@ -88,15 +105,27 @@ def test_two_process_extract_train_checkpoint(tmp_path):
     accs = [re.search(r"val_acc=([0-9.]+)", o).group(1) for o in outs]
     assert accs[0] == accs[1]
 
-    # the multi-process-trained checkpoint evaluates fine single-process
+    # both hosts' local artifacts evaluate fine single-process, and the
+    # broadcast features match the owner's originals bit-for-bit
     from amcpy_tpu.data import io_mat
     from amcpy_tpu.train import evaluate_by_snr, load_checkpoint
 
-    model, state, scaler, _ = load_checkpoint(cfg, model_id)
-    feats = {
-        m: io_mat.load_features(cfg, m)
-        for m in cfg.signals.modulations_with_noise
-    }
-    acc = evaluate_by_snr(model, state, scaler, feats, cfg)
-    assert acc.shape == (6, 16)
-    assert np.isfinite(acc).all()
+    feats_by_root = []
+    for root in roots:
+        cfg = Config().replace(
+            paths={"root": str(root)},
+            signals={"frame_size": 128, "num_frames": 24},
+        )
+        model, state, scaler, _ = load_checkpoint(cfg, model_id)
+        feats = {
+            m: io_mat.load_features(cfg, m)
+            for m in cfg.signals.modulations_with_noise
+        }
+        feats_by_root.append(feats)
+        acc = evaluate_by_snr(model, state, scaler, feats, cfg)
+        assert acc.shape == (6, 16)
+        assert np.isfinite(acc).all()
+    for m in feats_by_root[0]:
+        np.testing.assert_array_equal(
+            feats_by_root[0][m], feats_by_root[1][m]
+        )

@@ -89,3 +89,29 @@ def test_extraction_deterministic(trained_project):
     a = extract_batch(raw)
     b = extract_batch(raw)
     np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_bucketed_compile_count(trained_project):
+    """Arbitrary request batch sizes must hit power-of-two buckets: N
+    distinct sizes -> at most log2 compiled programs, and padded results
+    must equal unbucketed ones row-for-row (VERDICT r3 item 8)."""
+    from amcpy_tpu import serve
+
+    cfg, model_id = trained_project
+    pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    rng = np.random.default_rng(3)
+    frames = (
+        rng.standard_normal((500, 2, cfg.signals.frame_size)).astype(
+            np.float32
+        )
+    )
+    serve._pipeline_logits._clear_cache()
+    sizes = (1, 3, 7, 20, 33, 64, 100, 129, 200, 500)
+    outs = {b: np.asarray(pipe.logits(frames[:b])) for b in sizes}
+    # 10 distinct sizes -> buckets {64, 128, 256, 512} only
+    assert serve._pipeline_logits._cache_size() <= 4
+    for b in sizes:
+        assert outs[b].shape == (b, 6)
+    # bucketing must not change values: same rows, different pad amounts
+    np.testing.assert_allclose(outs[500][:100], outs[100], atol=1e-5)
+    np.testing.assert_allclose(outs[33][:3], outs[3], atol=1e-5)

@@ -149,3 +149,60 @@ def test_other_optimizers(cfg, opt):
     c = cfg.replace(training={"optimizer": opt, "epochs": 6})
     _, _, history, _ = train(c, x_train, y_train, x_test, y_test)
     assert history["val_accuracy"][-1] > 0.9
+
+
+def test_train_frame_mask_roundtrip():
+    """train_frame_mask maps split row indices back to exactly the
+    (mod, snr, frame) cells that went into training."""
+    from amcpy_tpu.preprocessing import (
+        build_dataset,
+        stratified_split_indices,
+        train_frame_mask,
+    )
+
+    cfg = Config().replace(signals={"num_frames": 10, "frame_size": 64})
+    rng = np.random.default_rng(0)
+    features = {
+        m: rng.standard_normal((16, 10, 18)).astype(np.float32)
+        for m in cfg.signals.modulations_with_noise
+    }
+    x, y = build_dataset(features, cfg, "training")
+    tr, te = stratified_split_indices(y, cfg.training.test_size,
+                                      cfg.training.seed)
+    mask = train_frame_mask(cfg, tr)
+    assert mask.shape == (6, 16, 10)
+    assert mask.sum() == len(tr)
+    # split is stratified per CLASS: each mod contributes 80% of its
+    # training-SNR frames (6 SNRs x 10 frames -> 48), spread over SNRs;
+    # non-training SNRs carry none
+    snr_sel = list(cfg.training.training_snr)
+    assert mask.sum(axis=(1, 2)).tolist() == [48] * 6
+    other = [s for s in range(16) if s not in snr_sel]
+    assert mask[:, other, :].sum() == 0
+    # row values in x at train indices match the masked feature cells
+    cols = list(cfg.features.used_columns)
+    i = int(tr[0])
+    mod_i, snr_i, frame_i = np.argwhere(
+        train_frame_mask(cfg, np.asarray([i]))
+    )[0]
+    mod = cfg.signals.modulations_with_noise[mod_i]
+    np.testing.assert_array_equal(
+        x[i], features[mod][snr_i, frame_i, cols]
+    )
+
+
+def test_evaluate_by_snr_exclude_mask():
+    """exclude_mask restricts the per-SNR curve to held-out frames."""
+    from amcpy_tpu.train.evaluate import _masked_block_accuracy
+
+    correct = np.zeros((2, 3, 4), dtype=bool)
+    correct[0, 0, :2] = True  # 2/4 correct
+    excl = np.zeros((2, 3, 4), dtype=bool)
+    excl[0, 0, :2] = True  # exclude exactly the correct ones
+    acc_all = _masked_block_accuracy(correct, None)
+    acc_heldout = _masked_block_accuracy(correct, excl)
+    assert acc_all[0, 0] == 0.5
+    assert acc_heldout[0, 0] == 0.0
+    excl2 = np.zeros_like(excl)
+    excl2[0, 0, 2:] = True  # exclude the wrong ones
+    assert _masked_block_accuracy(correct, excl2)[0, 0] == 1.0
