@@ -765,7 +765,7 @@ def cmd_parity(cfg: Config, args: argparse.Namespace) -> None:
                     else "EXCEEDS paired-seed noise (systematic)"
                 )
                 + f" ({a['cells_exceeding_noise']}/{a['n_cells']} cells "
-                "over their 3-sigma bound)"
+                "over the family-wise noise bound)"
             )
 
 

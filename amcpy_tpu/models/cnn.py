@@ -20,21 +20,24 @@ literature), shaped for the MXU:
 **Default architecture: per-sample (kernel size 1) feature maps.** The
 canonical dataset is one constellation symbol per sample with iid AWGN
 (the reference's ``all_modulations.mat`` layout and this framework's
-synthesizer) — there is *no temporal correlation to convolve over*, and a
-wide kernel only averages independent symbols into noise (measured on the
-TPU: k=8 strided stacks sit at chance on held-out frames where this k=1
-stack reaches 0.94 held-out val accuracy; the committed evidence is
-``metrics/cnn_vs_mlp.json`` + ``figures/cnn_vs_mlp.png`` — 3 seeds,
-full-scale dataset, held-out per-SNR curves, regenerate with
-``python scripts/cnn_vs_mlp.py`` — and the k=8 negative result is
-``scripts/experiments/README.md``). Pointwise conv blocks + global
-pooling learn *generalized moments* E[f(I,Q)] — exactly the function
-space of the hand-crafted cumulant features
+synthesizer) — there is *no temporal correlation to convolve over*, so
+wide kernels buy nothing and lose accuracy where it matters. Measured on
+the TPU (committed evidence: ``metrics/cnn_vs_mlp.json`` +
+``figures/cnn_vs_mlp.png`` — full-scale dataset, held-out per-SNR
+curves, regenerate with ``python scripts/cnn_vs_mlp.py`` and
+``scripts/cnn_wide_control.py``): the k=1 default reaches 0.937
+held-out high-SNR accuracy (0.94 val, 3 seeds) while the classic wide
+k=8 strided stack tops out at 0.882 high-SNR (0.88 val) — it still
+learns coarse moment statistics through its pooling head, but pays for
+averaging independent symbols exactly where fine constellation geometry
+decides (high SNR), and its strided convs cost more FLOPs. Pointwise
+conv blocks + global pooling learn *generalized moments* E[f(I,Q)] —
+exactly the function space of the hand-crafted cumulant features
 (``/root/reference/src/amcpy/features.py:116-185``), but learned
-end-to-end. On that evidence the learned family trails the feature MLP
-at low SNR (held-out overall 0.51 vs 0.70) and approaches it at high SNR
-(0.94 vs 0.97) at ~18x the inference cost — the honest trade recorded in
-RESULTS. For pulse-shaped captures (e.g. GNU Radio at
+end-to-end. On the same evidence the learned family trails the feature
+MLP at low SNR (held-out overall 0.51 vs 0.70) and approaches it at
+high SNR (0.94 vs 0.97) at ~18x the inference cost — the honest trade
+recorded in RESULTS. For pulse-shaped captures (e.g. GNU Radio at
 several samples/symbol, ``/root/reference/old/read_binary_stream.py``)
 pass wider ``kernel_sizes``/``strides`` — the family is fully
 configurable and any stack compiles to the same MXU path.

@@ -334,9 +334,14 @@ def measure_tpu() -> dict:
         f"{len(gated)}/{len(candidates)} configs under the 10% gate"
     )
 
-    # batch-size flatness of the flagship family (VERDICT r2 item 2)
+    # batch-size flatness of the flagship family (VERDICT r2 item 2) —
+    # over GATE-QUALIFYING configs only: a spike-corrupted slope (e.g. a
+    # near-zero median with IQR >> median, seen on the tunneled backend)
+    # would otherwise poison the ratio while carrying no information
     fused_fps = [
-        v["frames_per_s"] for k, v in kernels.items() if k.startswith("fused @")
+        v["frames_per_s"]
+        for k, v in kernels.items()
+        if k.startswith("fused @") and k in gated
     ]
     flatness = (
         round(max(fused_fps) / max(min(fused_fps), 1.0), 3)

@@ -1,11 +1,14 @@
 """Wide-kernel CONTROL arm for the raw-IQ CNN family.
 
-Backs the measured claim in ``amcpy_tpu/models/cnn.py``: on symbol-rate
-iid-IQ data (one constellation symbol per sample) a wide temporal kernel
-only averages independent symbols into noise, so a k=8 strided stack
-sits near chance where the default k=1 per-sample stack learns. Trains
-the k=8 stack on the same full-scale dataset as ``cnn_vs_mlp.py`` and
-appends ``cnn_wide_kernel_control`` to ``metrics/cnn_vs_mlp.json``.
+Control arm for the measured claim in ``amcpy_tpu/models/cnn.py``: on
+symbol-rate iid-IQ data (one constellation symbol per sample) a wide
+temporal kernel averages independent symbols, so the classic k=8
+strided stack should underperform the k=1 per-sample default exactly
+where fine constellation geometry decides (high SNR). Measured outcome
+(TPU, full scale): k=8 still learns (0.88 high-SNR held-out) but trails
+k=1 (0.94) at more FLOPs — recorded in ``cnn_wide_kernel_control``.
+Trains the k=8 stack on the same full-scale dataset as ``cnn_vs_mlp.py``
+and appends the record to ``metrics/cnn_vs_mlp.json``.
 
 Run on the TPU:  python scripts/cnn_wide_control.py [--root DIR]
 """
@@ -82,8 +85,8 @@ def main() -> None:
         "high_snr_mean": float(stack[:, :, -6:].mean()),
         "val_accuracy_per_seed": vals,
         "note": (
-            "wide temporal kernels on symbol-rate iid IQ: control for the "
-            "k=1 default (chance = 0.167)"
+            "wide temporal kernels on symbol-rate iid IQ: control arm "
+            "for the k=1 per-sample default"
         ),
     }
     out_path.parent.mkdir(exist_ok=True)

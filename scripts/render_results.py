@@ -99,10 +99,13 @@ the kernel numbers above.
         )
         wide_line = (
             f"\nThe wide-kernel control (k=8 strided, the classic "
-            f"RadioML shape) confirms the module docstring's claim on "
-            f"symbol-rate iid IQ: {wide['overall_mean']:.3f} overall vs "
-            f"chance 0.167 vs {cc['overall_mean']:.3f} for the k=1 "
-            f"per-sample stack."
+            f"RadioML shape) quantifies the per-sample design choice on "
+            f"symbol-rate iid IQ: it still learns "
+            f"({wide['overall_mean']:.3f} overall) but loses where fine "
+            f"constellation geometry decides — "
+            f"{wide['high_snr_mean']:.3f} high-SNR vs "
+            f"{cc['high_snr_mean']:.3f} for the k=1 per-sample default, "
+            f"at more FLOPs."
             if wide
             else ""
         )

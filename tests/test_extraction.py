@@ -215,3 +215,25 @@ def test_run_extraction_synthetic_matches_host_path(tiny_cfg):
         np.testing.assert_allclose(
             dev[mod], host[mod], rtol=2e-3, atol=1e-5
         )
+
+
+def test_extract_batch_timings_breakdown():
+    """extract_batch(timings=...) must report the host-path phase split
+    (host_prep / h2d / wait / bytes) used by bench end_to_end and
+    `amc parity` (VERDICT r3 items 1/7)."""
+    import numpy as np
+
+    from amcpy_tpu.extraction import extract_batch
+    from amcpy_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    frames = (
+        rng.standard_normal((32, 128)) + 1j * rng.standard_normal((32, 128))
+    ).astype(np.complex64)
+    tim: dict = {}
+    out = extract_batch(frames, mesh=make_mesh(), timings=tim)
+    assert out.shape == (32, 18)
+    for key in ("host_prep_s", "h2d_s", "wait_s", "bytes_h2d"):
+        assert key in tim and tim[key] >= 0
+    # planar f32 (with data-axis padding) crossed the wire
+    assert tim["bytes_h2d"] >= 32 * 2 * 128 * 4
