@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--out", default=None, help="write predictions to .mat/.npy"
     )
 
+    srv_p = sub.add_parser(
+        "serve", help="HTTP classification server over a trained model"
+    )
+    srv_p.add_argument("--model-id", default=None)
+    srv_p.add_argument("--host", default="0.0.0.0")
+    srv_p.add_argument("--port", type=int, default=8000)
+
     sweep_p = sub.add_parser("sweep", help="Hyperparameter sweep")
     sweep_p.add_argument("--spec", default=None,
                          help="W&B-format sweep YAML (default: reference space)")
@@ -677,6 +684,14 @@ def cmd_classify(cfg: Config, args: argparse.Namespace) -> None:
         print(f"Predictions -> {args.out}")
 
 
+def cmd_serve(cfg: Config, args: argparse.Namespace) -> None:
+    from amcpy_tpu.server import serve_forever
+
+    serve_forever(
+        cfg, args.model_id, host=args.host, port=args.port
+    )
+
+
 def cmd_sweep(cfg: Config, args: argparse.Namespace) -> None:
     import json
 
@@ -823,6 +838,7 @@ def main(argv: list[str] | None = None) -> None:
         "eval": cmd_eval,
         "quantize": cmd_quantize,
         "classify": cmd_classify,
+        "serve": cmd_serve,
         "sweep": cmd_sweep,
         "parity": cmd_parity,
         "full": cmd_full,

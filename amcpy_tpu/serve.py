@@ -60,6 +60,18 @@ def _pipeline_logits(
     from amcpy_tpu.models.cnn import IQConvNet
 
     if isinstance(model, IQConvNet):
+        from amcpy_tpu.ops.cnn_infer import cnn_logits_fused, supports_fused
+
+        if supports_fused(model):
+            # one-VMEM-pass trunk: 3.2x the flax apply on TPU in steady
+            # state (the flax path round-trips ~3.6 GB of activations
+            # through HBM per 4096-frame batch — ops/cnn_infer.py)
+            return cnn_logits_fused(
+                model,
+                {"params": params, "batch_stats": batch_stats},
+                iq,
+                interpret=interpret,
+            )
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, iq, train=False
         )
@@ -112,10 +124,9 @@ class AMCPipeline:
             self._kernel = (
                 "fused" if jax.default_backend() != "cpu" else "xla"
             )
-        self._interpret = (
-            self._kernel in ("pallas", "fused")
-            and jax.default_backend() == "cpu"  # Mosaic is TPU-only
-        )
+        # Mosaic is TPU-only: every Pallas path (fused/pallas extraction,
+        # the fused CNN trunk) runs interpreted off-TPU
+        self._interpret = jax.default_backend() == "cpu"
 
     @classmethod
     def from_checkpoint(

@@ -237,7 +237,14 @@ def measure_tpu() -> dict:
     kernels = {}
 
     def bench(label, kern, batch, args):
-        med, iqr = _robust_slope(kern, args, batch)
+        # Per-config isolation: the tunneled backend occasionally throws
+        # a transient FAILED_PRECONDITION mid-fetch (observed r4); one
+        # bad config must not sink the whole benchmark record.
+        try:
+            med, iqr = _robust_slope(kern, args, batch)
+        except Exception as exc:
+            _log(f"[bench] {label:34s} SKIPPED ({type(exc).__name__})")
+            return None
         fps = batch / med
         kernels[label] = {
             "ms_per_batch": round(med * 1e3, 4),
@@ -309,6 +316,14 @@ def measure_tpu() -> dict:
             bench(
                 "cnn-iqconvnet infer @4096",
                 lambda x: cnn.apply(cvars, x, train=False),
+                4096,
+                (packed[4096],),
+            )
+            from amcpy_tpu.ops.cnn_infer import cnn_logits_fused
+
+            bench(
+                "cnn-fused-trunk infer @4096",
+                lambda x: cnn_logits_fused(cnn, cvars, x),
                 4096,
                 (packed[4096],),
             )

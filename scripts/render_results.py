@@ -83,10 +83,20 @@ the kernel numbers above.
         cc, mm = c["cnn"], c["mlp"]
         inf = c.get("cnn_inference", {})
         wide = c.get("cnn_wide_kernel_control")
+        fused_cnn = kernels.get("cnn-fused-trunk infer @4096")
         inf_line = (
             f"Raw-IQ inference costs {inf['ms_per_batch']} ms @"
             f"{inf['batch']} ({fmt_m(inf['frames_per_s'])} frames/s, bf16 "
-            "convs on the MXU)."
+            "convs on the MXU) through the flax forward"
+            + (
+                f"; the serving path uses the one-VMEM-pass Pallas trunk "
+                f"(`ops/cnn_infer.py`, BN folded): "
+                f"{fused_cnn['ms_per_batch']} ms → "
+                f"{fmt_m(fused_cnn['frames_per_s'])} frames/s, identical "
+                f"argmax."
+                if fused_cnn
+                else "."
+            )
             if inf
             else ""
         )

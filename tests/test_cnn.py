@@ -190,3 +190,52 @@ def test_cnn_serving_pipeline(cnn_root):
     np.testing.assert_array_equal(
         pipe.predict(raw[:8]), pipe.predict(to_planar(raw[:8]))
     )
+
+
+def test_cnn_fused_trunk_matches_apply_interpret():
+    """ops/cnn_infer.py (BN-folded one-VMEM-pass inference trunk) vs the
+    flax forward, interpret mode: identical argmax, logits within bf16
+    accumulation-order tolerance; ragged batches pad internally."""
+    import jax
+    import jax.numpy as jnp
+
+    from amcpy_tpu.models.cnn import IQConvNet
+    from amcpy_tpu.ops.cnn_infer import (
+        cnn_logits_fused,
+        fold_bn_params,
+        supports_fused,
+    )
+
+    model = IQConvNet(n_classes=6)
+    assert supports_fused(model)
+    assert not supports_fused(IQConvNet(n_classes=6, kernel_sizes=(8, 1, 1)))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        rng.standard_normal((13, 2, 256)).astype(np.float32) * 4.0
+    )
+    variables = model.init(jax.random.key(1), x[:1], train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(
+        cnn_logits_fused(model, variables, x, interpret=True)
+    )
+    assert got.shape == ref.shape == (13, 6)
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+    np.testing.assert_allclose(got, ref, atol=0.08)
+
+    # BN folding is the exact inference identity: folded conv output ==
+    # BN(conv(x)) in f32
+    folded = fold_bn_params(model, variables)
+    w_t, b = folded["convs"][0]
+    xin = np.asarray(x[0, :, :8], np.float32)  # (2, 8) channel-major
+    manual = np.asarray(w_t) @ xin + np.asarray(b)
+    p, s = variables["params"], variables["batch_stats"]
+    conv_w = np.asarray(p["Conv_0"]["kernel"], np.float32)[0]
+    conv_b = np.asarray(p["Conv_0"]["bias"], np.float32)
+    y = conv_w.T @ xin + conv_b[:, None]
+    bn_y = (
+        (y - np.asarray(s["BatchNorm_0"]["mean"], np.float32)[:, None])
+        / np.sqrt(np.asarray(s["BatchNorm_0"]["var"], np.float32)[:, None] + 1e-5)
+        * np.asarray(p["BatchNorm_0"]["scale"], np.float32)[:, None]
+        + np.asarray(p["BatchNorm_0"]["bias"], np.float32)[:, None]
+    )
+    np.testing.assert_allclose(manual, bn_y, rtol=1e-5, atol=1e-6)

@@ -115,3 +115,69 @@ def test_pipeline_bucketed_compile_count(trained_project):
     # bucketing must not change values: same rows, different pad amounts
     np.testing.assert_allclose(outs[500][:100], outs[100], atol=1e-5)
     np.testing.assert_allclose(outs[33][:3], outs[3], atol=1e-5)
+
+
+def test_http_server_classify_and_health(trained_project):
+    """`amc serve`'s HTTP surface: raw complex64 bytes in, labels out;
+    planar format; probs; health counters; malformed-body errors."""
+    import json
+    import threading
+    import urllib.request
+
+    from amcpy_tpu.server import AMCServer
+
+    cfg, model_id = trained_project
+    srv = AMCServer(cfg, model_id, host="127.0.0.1", port=0)
+    host, port = srv.address
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://{host}:{port}"
+    try:
+        # health
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["frame_size"] == 256
+        assert h["classes"][0] == "BPSK"
+
+        raw = io_mat.load_modulation(cfg, "BPSK")  # (16, 30, 256) c64
+        frames = np.ascontiguousarray(raw[-2:].reshape(-1, 256))
+
+        def post(path, body):
+            req = urllib.request.Request(
+                f"{base}{path}", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        # complex64 wire format (GNU Radio layout)
+        out = post("/classify", frames.tobytes())
+        assert len(out["labels"]) == 60
+        assert (
+            np.asarray(out["class_ids"]) == 0
+        ).mean() > 0.5  # mostly BPSK at high SNR
+
+        # planar format + probabilities
+        planar = np.stack([frames.real, frames.imag], axis=1).astype(
+            np.float32
+        )
+        out2 = post("/classify?format=planar&probs=1", planar.tobytes())
+        assert out2["class_ids"] == out["class_ids"]
+        probs = np.asarray(out2["probs"])
+        assert probs.shape == (60, 6)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+        # malformed body -> 400 with an explanation
+        import urllib.error
+
+        try:
+            post("/classify", b"\x00" * 13)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "whole number" in json.loads(e.read())["error"]
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h2 = json.loads(r.read())
+        assert h2["requests"] == 2 and h2["frames_classified"] == 120
+    finally:
+        srv.shutdown()

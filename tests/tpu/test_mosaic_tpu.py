@@ -80,3 +80,24 @@ def test_compiled_fused_golden_fallback():
     sig = _golden_signal().astype(np.complex64)[None, :]
     got = extract_batch(sig, mesh=make_mesh(), kernel="fused")
     np.testing.assert_allclose(got[0], GOLDEN, rtol=2e-5)
+
+
+def test_compiled_cnn_fused_trunk_matches_apply():
+    """The fused CNN inference trunk (ops/cnn_infer.py), COMPILED on the
+    chip, must agree with the flax forward: identical argmax, logits
+    within bf16 accumulation-order tolerance."""
+    import jax.numpy as jnp
+
+    from amcpy_tpu.models.cnn import IQConvNet
+    from amcpy_tpu.ops.cnn_infer import cnn_logits_fused
+
+    model = IQConvNet(n_classes=6)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal((64, 2, 2048)).astype(np.float32) * 2.3
+    )
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    ref = np.asarray(model.apply(variables, x, train=False))
+    got = np.asarray(cnn_logits_fused(model, variables, x))
+    assert (got.argmax(-1) == ref.argmax(-1)).all()
+    np.testing.assert_allclose(got, ref, atol=0.08)
