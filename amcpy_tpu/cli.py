@@ -627,7 +627,15 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
         p = plot_quantization_comparison(acc_f, acc_q, model_id, cfg)
         print(f"Float vs int16 per-SNR accuracy -> {p}")
 
-        x_all, y_all = build_dataset(features, cfg, "test")
+        # held-out rows, like `amc eval` (the float-vs-int16 comparison is
+        # about quantization error, but quoting it on trained-on rows
+        # would still inflate both CMs)
+        x_all, y_all = _eval_cm_dataset(
+            cfg,
+            argparse.Namespace(mode="test", full_data=False),
+            meta,
+            lambda mode: build_dataset(features, cfg, mode),
+        )
         xs = scaler.transform(x_all).astype(np.float32)
         n_cls = len(cfg.signals.modulations_with_noise)
         cm_f = confusion_counts(model, state, xs, y_all, n_cls)
