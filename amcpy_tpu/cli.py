@@ -491,6 +491,38 @@ def _eval_cm_dataset(cfg: Config, args, meta, build):
     from amcpy_tpu.preprocessing import stratified_split_indices
 
     tmeta = meta["config"]["training"]
+    # the split is a pure function of (labels, test_size, seed) — which
+    # only reproduces the checkpoint's held-out set if the assembled
+    # dataset is the SAME one it trained on. Detect drift via the
+    # recorded provenance instead of silently scoring trained-on rows
+    # as held-out (checkpoints from before the provenance fields skip
+    # the check, as before).
+    smeta = meta["config"].get("signals")
+    drift = []
+    if smeta is not None:
+        for key, now in (
+            ("num_frames", cfg.signals.num_frames),
+            ("num_snr", cfg.signals.num_snr),
+            ("modulations", list(cfg.signals.modulations_with_noise)),
+        ):
+            if smeta.get(key) != now:
+                drift.append(f"{key}: checkpoint {smeta.get(key)} vs {now}")
+    if "training_snr" in tmeta and tmeta["training_snr"] != list(
+        cfg.training.training_snr
+    ):
+        drift.append(
+            f"training_snr: checkpoint {tmeta['training_snr']} vs "
+            f"{list(cfg.training.training_snr)}"
+        )
+    if drift:
+        raise SystemExit(
+            "error: cannot reproduce this checkpoint's held-out split — "
+            "the dataset/config changed since training ("
+            + "; ".join(drift)
+            + "). Re-run with the training-time config, or pass "
+            "--full-data for the (labeled, trained-rows-included) "
+            "full-dataset confusion matrix."
+        )
     x, y = build("training")
     _, te = stratified_split_indices(
         y,

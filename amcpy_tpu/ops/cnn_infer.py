@@ -49,11 +49,16 @@ __all__ = ["fold_bn_params", "cnn_logits_fused", "supports_fused"]
 
 
 def supports_fused(model) -> bool:
-    """True when the architecture matches the fused kernel's contract."""
+    """True when the architecture matches the fused kernel's contract:
+    k=1/stride-1 stack AND the bf16 compute dtype the kernel hardwires —
+    an f32-dtype checkpoint must keep the flax forward (its numerics
+    contract is f32; the trunk's bf16 multiplies would silently degrade
+    it)."""
     return (
         all(int(k) == 1 for k in model.kernel_sizes)
         and all(int(s) == 1 for s in model.strides)
         and len(model.channels) >= 1
+        and str(model.dtype) in ("bfloat16", "bf16")
     )
 
 

@@ -55,7 +55,11 @@ def best_factorization(
     factorization satisfies it — callers fall back to ``multiple_of=1``.
     """
     start = max(8, -(-n // 512))  # smallest n1 with n2 = n/n1 <= 512
-    limit = int(np.sqrt(n)) if multiple_of <= int(np.sqrt(n)) else n // 8
+    # unconstrained search keeps n1 <= sqrt(n) (small-first-factor
+    # policy); a divisibility constraint may only be satisfiable by an
+    # n1 ABOVE sqrt(n) (e.g. n=242, multiple_of=2 -> (22, 11)), so the
+    # constrained search extends to every n1 with cofactor >= 8
+    limit = n // 8 if multiple_of > 1 else int(np.sqrt(n))
     for lo in (start, 8):  # prefer n2 <= 512; then any with both >= 8
         for n1 in range(lo, limit + 1):
             if (

@@ -62,15 +62,18 @@ def _pipeline_logits(
     if isinstance(model, IQConvNet):
         from amcpy_tpu.ops.cnn_infer import cnn_logits_fused, supports_fused
 
-        if supports_fused(model):
+        if kernel == "fused" and not interpret and supports_fused(model):
             # one-VMEM-pass trunk: 3.2x the flax apply on TPU in steady
             # state (the flax path round-trips ~3.6 GB of activations
-            # through HBM per 4096-frame batch — ops/cnn_infer.py)
+            # through HBM per 4096-frame batch — ops/cnn_infer.py).
+            # Gated to compiled-Mosaic backends with kernel="fused"
+            # (the "auto" default resolves to it on TPU): kernel="xla"
+            # keeps the flax forward as the escape hatch, and CPU
+            # serving never pays the interpret-mode Pallas tax.
             return cnn_logits_fused(
                 model,
                 {"params": params, "batch_stats": batch_stats},
                 iq,
-                interpret=interpret,
             )
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, iq, train=False

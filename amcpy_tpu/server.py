@@ -163,8 +163,12 @@ def _make_handler(server: AMCServer):
         def do_POST(self):
             url = urlparse(self.path)
             if url.path != "/classify":
+                # body not drained: kill this keep-alive connection so
+                # leftover bytes can't be parsed as the next request
+                self.close_connection = True
                 self._reply(404, {"error": "unknown path"})
                 return
+            body_read = False
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if length <= 0:
@@ -179,15 +183,22 @@ def _make_handler(server: AMCServer):
                 frame_size = int(
                     q.get("frame_size", [server.frame_size])[0]
                 )
+                if frame_size <= 0:
+                    raise ValueError(f"frame_size must be > 0, got {frame_size}")
                 want_probs = q.get("probs", ["0"])[0] in ("1", "true")
                 body = self.rfile.read(length)
+                body_read = True
                 self._reply(
                     200,
                     server.classify(body, fmt, frame_size, want_probs),
                 )
             except ValueError as exc:
+                if not body_read:
+                    self.close_connection = True
                 self._reply(400, {"error": str(exc)})
             except Exception as exc:  # pragma: no cover - defensive
+                if not body_read:
+                    self.close_connection = True
                 self._reply(500, {"error": repr(exc)})
 
     return Handler

@@ -80,9 +80,16 @@ def save_checkpoint(
                 "optimizer": cfg.training.optimizer,
                 "learning_rate": cfg.training.learning_rate,
                 # split provenance: lets `amc eval` reproduce the EXACT
-                # held-out set this checkpoint was validated on
+                # held-out set this checkpoint was validated on — and
+                # detect when it can't (dataset/SNR-selection drift)
                 "seed": cfg.training.seed,
                 "test_size": cfg.training.test_size,
+                "training_snr": list(cfg.training.training_snr),
+            },
+            "signals": {
+                "num_frames": cfg.signals.num_frames,
+                "num_snr": cfg.signals.num_snr,
+                "modulations": list(cfg.signals.modulations_with_noise),
             },
             "n_classes": len(cfg.signals.modulations_with_noise),
             "model": model_meta or {"family": "mlp"},

@@ -251,3 +251,29 @@ def test_resume_adopts_checkpoint_optimizer(project_root):
     assert meta2["config"]["training"]["learning_rate"] == 1e-3
     assert meta2["config"]["training"]["seed"] == 3  # split preserved
     assert len(meta2["history"]["loss"]) == 5
+
+
+def test_eval_heldout_refuses_on_config_drift(project_root):
+    """If the dataset/SNR selection changed since training, the held-out
+    split cannot be reproduced — eval must refuse with a clear error
+    instead of silently scoring trained-on rows (code-review r4)."""
+    import argparse
+
+    from amcpy_tpu.cli import _eval_cm_dataset
+    from amcpy_tpu.config import Config
+    from amcpy_tpu.train import load_checkpoint, resolve_model_id
+
+    cfg = Config.from_yaml(project_root / "cfg.yaml").replace(
+        paths={"root": str(project_root)}
+    )
+    model_id = resolve_model_id(cfg, None)
+    _, _, _, meta = load_checkpoint(cfg, model_id)
+    drifted = cfg.replace(training={"training_snr": (8, 9, 10, 11, 12, 13)})
+    args = argparse.Namespace(mode="test", full_data=False)
+    with pytest.raises(SystemExit, match="cannot reproduce"):
+        _eval_cm_dataset(drifted, args, meta, lambda mode: (None, None))
+    # --full-data remains available regardless of drift
+    args_full = argparse.Namespace(mode="test", full_data=True)
+    assert _eval_cm_dataset(
+        drifted, args_full, meta, lambda mode: ("x", "y")
+    ) == ("x", "y")

@@ -239,3 +239,13 @@ def test_cnn_fused_trunk_matches_apply_interpret():
         + np.asarray(p["BatchNorm_0"]["bias"], np.float32)[:, None]
     )
     np.testing.assert_allclose(manual, bn_y, rtol=1e-5, atol=1e-6)
+
+
+def test_supports_fused_requires_bf16():
+    """An f32-dtype checkpoint must keep the flax forward — the fused
+    trunk hardwires bf16 multiplies (code-review r4)."""
+    from amcpy_tpu.models.cnn import IQConvNet
+    from amcpy_tpu.ops.cnn_infer import supports_fused
+
+    assert supports_fused(IQConvNet(n_classes=6))
+    assert not supports_fused(IQConvNet(n_classes=6, dtype="float32"))

@@ -209,3 +209,7 @@ def test_best_factorization_multiple_of():
     # no factor divisible by 8 -> None (SP falls back to all_gather)
     assert best_factorization(900, multiple_of=8) is None
     assert best_factorization(17, multiple_of=2) is None
+    # the constrained search must look ABOVE sqrt(n): 242 = 2*11^2 has
+    # its only even factorization at (22, 11) (code-review r4 finding)
+    assert best_factorization(242, multiple_of=2) == (22, 11)
+    assert best_factorization(484, multiple_of=4) == (44, 11)

@@ -181,3 +181,71 @@ def test_http_server_classify_and_health(trained_project):
         assert h2["requests"] == 2 and h2["frames_classified"] == 120
     finally:
         srv.shutdown()
+
+
+def test_http_server_concurrent_requests(trained_project):
+    """Concurrent POSTs: the threaded HTTP front serializes device access
+    behind the inference lock — every request succeeds and the counters
+    account for every frame exactly once."""
+    import concurrent.futures as cf
+    import json
+    import threading
+    import urllib.request
+
+    from amcpy_tpu.server import AMCServer
+
+    cfg, model_id = trained_project
+    srv = AMCServer(cfg, model_id, host="127.0.0.1", port=0)
+    host, port = srv.address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://{host}:{port}"
+    try:
+        raw = io_mat.load_modulation(cfg, "QPSK")[-1, :16]  # (16, 256) c64
+        body = np.ascontiguousarray(raw).tobytes()
+
+        def post(_):
+            req = urllib.request.Request(
+                f"{base}/classify", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.loads(r.read())
+
+        with cf.ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(post, range(8)))
+        assert all(len(o["labels"]) == 16 for o in outs)
+        # identical inputs -> identical outputs regardless of interleaving
+        assert all(o["class_ids"] == outs[0]["class_ids"] for o in outs)
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["requests"] == 8 and h["frames_classified"] == 128
+    finally:
+        srv.shutdown()
+
+
+def test_http_server_rejects_bad_frame_size(trained_project):
+    """frame_size=0 is a client error (400), not a 500 (code-review r4)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from amcpy_tpu.server import AMCServer
+
+    cfg, model_id = trained_project
+    srv = AMCServer(cfg, model_id, host="127.0.0.1", port=0)
+    host, port = srv.address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/classify?frame_size=0",
+            data=b"\x00" * 64,
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "frame_size" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
