@@ -170,33 +170,34 @@ def put_global(x, sharding: NamedSharding) -> jax.Array:
 
     # flatten every (device, row-chunk) upload into one job list and run
     # them over _H2D_STREAMS concurrent streams
-    jobs: list[tuple[int, int, np.ndarray, object]] = []  # (shard, pos, data, dev)
+    jobs: list[tuple[int, np.ndarray, object]] = []  # (shard, data, dev)
     shard_devs = list(sharding.addressable_devices_indices_map(x.shape).items())
     for si, (dev, idx) in enumerate(shard_devs):
         part = x[idx]
         row_bytes = max(1, part.nbytes // max(part.shape[0], 1))
         rows = max(1, _STAGE_CHUNK_BYTES // row_bytes)
-        for pi, i in enumerate(range(0, part.shape[0], rows)):
-            jobs.append((si, pi, part[i : i + rows], dev))
+        for i in range(0, part.shape[0], rows):
+            jobs.append((si, part[i : i + rows], dev))
 
     def _upload(job):
-        si, pi, data, dev = job
+        si, data, dev = job
         arr = jax.device_put(np.ascontiguousarray(data), dev)
         arr.block_until_ready()
-        return si, pi, arr
+        return si, arr
 
-    pieces: dict[int, list[tuple[int, jax.Array]]] = {}
+    # ex.map preserves submission order, so results arrive grouped by
+    # shard with chunks already in row order
     if len(jobs) > 1 and _H2D_STREAMS > 1:
         with cf.ThreadPoolExecutor(min(_H2D_STREAMS, len(jobs))) as ex:
-            for si, pi, arr in ex.map(_upload, jobs):
-                pieces.setdefault(si, []).append((pi, arr))
+            uploaded = list(ex.map(_upload, jobs))
     else:
-        for job in jobs:
-            si, pi, arr = _upload(job)
-            pieces.setdefault(si, []).append((pi, arr))
+        uploaded = [_upload(job) for job in jobs]
+    pieces: dict[int, list[jax.Array]] = {}
+    for si, arr in uploaded:
+        pieces.setdefault(si, []).append(arr)
     shards = []
     for si in range(len(shard_devs)):
-        parts = [a for _, a in sorted(pieces[si], key=lambda t: t[0])]
+        parts = pieces[si]
         shards.append(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
     return jax.make_array_from_single_device_arrays(
         x.shape, sharding, shards
