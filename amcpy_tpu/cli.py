@@ -227,6 +227,21 @@ def cmd_info(cfg: Config, args: argparse.Namespace) -> None:
     print(f"devices: {len(devs)} x {devs[0].device_kind}"
           f" ({jax.process_count()} process(es))")
     print(f"native amc_io: {'built' if available() else 'unavailable (NumPy fallback)'}")
+    from amcpy_tpu.parallel import mesh as mesh_mod
+
+    kernel = cfg.compute.kernel
+    resolved = (
+        "fused" if jax.default_backend() != "cpu" else "xla"
+    ) if kernel == "auto" else kernel
+    print(f"extraction kernel: {kernel}"
+          + (f" (resolves to {resolved})" if kernel == "auto" else ""))
+    print(
+        f"H2D staging: {mesh_mod._H2D_STREAMS} streams x "
+        f"{mesh_mod._STAGE_CHUNK_BYTES >> 20} MB chunks "
+        "(AMCPY_H2D_STREAMS / AMCPY_H2D_CHUNK_BYTES)"
+    )
+    print(f"mesh shape: {tuple(cfg.compute.mesh_shape) or 'auto'} "
+          f"({cfg.compute.data_axis}, {cfg.compute.seq_axis})")
     print(f"project root: {cfg.paths.root}")
     for name, p in [
         ("dataset", cfg.paths.mat_data / cfg.paths.mat_filename),
