@@ -130,6 +130,10 @@ class AMCPipeline:
         # Mosaic is TPU-only: every Pallas path (fused/pallas extraction,
         # the fused CNN trunk) runs interpreted off-TPU
         self._interpret = jax.default_backend() == "cpu"
+        #: use every local device for large request batches (round-robin
+        #: chunk dispatch); set False to pin inference to one device
+        self.multi_device = True
+        self._dev_consts: dict = {}
 
     @classmethod
     def from_checkpoint(
@@ -161,8 +165,8 @@ class AMCPipeline:
     #: log2(max/min) compiled programs instead of N retraces
     MIN_BUCKET = 64
 
-    def logits(self, frames: np.ndarray) -> jax.Array:
-        iq = self._to_device_planar(frames)
+    def _dispatch(self, iq: jax.Array, consts=None) -> jax.Array:
+        """Bucket-pad + run the fused program on ``iq``'s device."""
         b = iq.shape[0]
         bucket = max(self.MIN_BUCKET, 1 << max(b - 1, 0).bit_length())
         if bucket != b:
@@ -171,14 +175,58 @@ class AMCPipeline:
             iq = jnp.concatenate(
                 [iq, jnp.repeat(iq[-1:], bucket - b, axis=0)]
             )
+        params, batch_stats, cols, mean, std = consts or (
+            self.params, self.batch_stats, self._cols, self._mean,
+            self._std,
+        )
         out = _pipeline_logits(
-            self.model, iq, self.params, self.batch_stats,
-            self._cols, self._mean, self._std,
+            self.model, iq, params, batch_stats, cols, mean, std,
             kernel=self._kernel,
             gmax_mode=self.cfg.compute.gmax_mode,
             interpret=self._interpret,
         )
         return out[:b]
+
+    def _consts_on(self, dev):
+        """Model constants committed to one device (cached; ~KBs)."""
+        if dev not in self._dev_consts:
+            self._dev_consts[dev] = jax.device_put(
+                (
+                    self.params, self.batch_stats, self._cols,
+                    self._mean, self._std,
+                ),
+                dev,
+            )
+        return self._dev_consts[dev]
+
+    def logits(self, frames: np.ndarray) -> jax.Array:
+        iq = self._to_device_planar(frames)
+        b = iq.shape[0]
+        devs = jax.local_devices()
+        if (
+            self.multi_device
+            and len(devs) > 1
+            and b >= 2 * self.MIN_BUCKET
+        ):
+            # batch-parallel serving: round-robin contiguous chunks over
+            # every local device; dispatches are async, so all devices
+            # run concurrently and results gather in order. (Scale-out
+            # ACROSS hosts stays one server process per host behind an
+            # ordinary load balancer.)
+            bounds = np.linspace(0, b, len(devs) + 1).astype(int)
+            outs = [
+                self._dispatch(
+                    jax.device_put(iq[lo:hi], dev), self._consts_on(dev)
+                )
+                for dev, lo, hi in zip(devs, bounds[:-1], bounds[1:])
+                if hi > lo
+            ]
+            # chunks live on different devices: gather on the host (every
+            # dispatch is already in flight before the first fetch)
+            return jnp.asarray(
+                np.concatenate([np.asarray(o) for o in outs], axis=0)
+            )
+        return self._dispatch(iq)
 
     def predict(self, frames: np.ndarray) -> np.ndarray:
         """Predicted class ids, one per frame."""

@@ -99,6 +99,8 @@ def test_pipeline_bucketed_compile_count(trained_project):
 
     cfg, model_id = trained_project
     pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    pipe.multi_device = False  # bucket accounting is per-device; the
+    # multi-device fan-out has its own parity test below
     rng = np.random.default_rng(3)
     frames = (
         rng.standard_normal((500, 2, cfg.signals.frame_size)).astype(
@@ -249,3 +251,28 @@ def test_http_server_rejects_bad_frame_size(trained_project):
             assert "frame_size" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
+
+
+def test_pipeline_multi_device_batch_parity(trained_project):
+    """Large request batches fan out round-robin over every local device
+    (8 on the test mesh); predictions must equal the single-device path
+    row-for-row, in order."""
+    import jax
+
+    cfg, model_id = trained_project
+    pipe = AMCPipeline.from_checkpoint(cfg, model_id)
+    raw = io_mat.load_modulation(cfg, "8PSK")  # (16, 30, 256)
+    frames = np.ascontiguousarray(raw.reshape(-1, 256))  # 480 frames
+
+    pipe.multi_device = False
+    single = np.asarray(pipe.logits(frames))
+    pipe.multi_device = True
+    multi = np.asarray(pipe.logits(frames))
+    assert multi.shape == single.shape == (480, 6)
+    np.testing.assert_allclose(multi, single, atol=1e-5)
+    # the fan-out actually used more than one device (consts cached per
+    # device it dispatched to)
+    assert len(pipe._dev_consts) == len(jax.local_devices()) > 1
+    # small batches stay on the single-device fast path
+    small = np.asarray(pipe.logits(frames[:8]))
+    np.testing.assert_allclose(small, single[:8], atol=1e-5)
