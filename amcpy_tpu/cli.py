@@ -105,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="evaluate the int16 fixed-point model against float32: "
              "per-SNR accuracy overlay + both confusion matrices as figures",
     )
+    quant_p.add_argument(
+        "--emit-c", action="store_true",
+        help="also write arm-data/amc_weights.h — a self-contained C "
+             "header (weights + standardizer + reference integer "
+             "inference, bit-exact with the Python int16 pipeline) that "
+             "drops straight into MCU firmware",
+    )
 
     cls_p = sub.add_parser(
         "classify", help="Classify raw IQ frames with a trained model"
@@ -653,6 +660,15 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
     for k, v in info.items():
         print(f"  {k} -> {v}")
     print(f"Quantized weights -> {cfg.paths.arm_data / 'w_and_b.mat'}")
+
+    if getattr(args, "emit_c", False):
+        from amcpy_tpu.ops.quantize import emit_c_header
+
+        p = emit_c_header(
+            state.params, state.batch_stats, scaler, cfg, info,
+            fold_bn=not args.no_fold_bn,
+        )
+        print(f"C header -> {p} (bit-exact with the int16 pipeline)")
 
     if getattr(args, "compare", False):
         from amcpy_tpu.graphics import (

@@ -39,6 +39,8 @@ __all__ = [
     "fold_batchnorm",
     "quantize_model",
     "quantized_predict",
+    "quantized_predict_int",
+    "emit_c_header",
     "evaluate_quantized_by_snr",
 ]
 
@@ -412,3 +414,177 @@ def evaluate_quantized_by_snr(
     ).reshape(m, n_snr, n_frames)
     true = np.asarray(s.labels)[:, None, None]
     return (pred == true).mean(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# C header export (MCU deployment)
+# ---------------------------------------------------------------------------
+
+
+def _c_int16_array(name: str, values: np.ndarray) -> str:
+    vals = ", ".join(str(int(v)) for v in values.flatten())
+    return (
+        f"static const int16_t {name}[{values.size}] = {{\n    {vals}\n}};\n"
+    )
+
+
+def emit_c_header(
+    params: Any,
+    batch_stats: Any,
+    scaler,
+    cfg: Config,
+    info: dict[str, str],
+    *,
+    fold_bn: bool = True,
+    path=None,
+):
+    """Emit a self-contained C header with the int16 network AND a
+    reference ``amc_classify()`` implementing the exact integer pipeline
+    of :func:`quantized_predict_int` (int64 accumulate, bias alignment,
+    round-half-even requantization, +/-2^14 saturation, integer ReLU).
+
+    The reference project exported only ``w_and_b.mat``
+    (``nn_quantization.py:135-145``) and left the firmware port to hand
+    work; this header drops into a Cortex-M build as-is — standardizer
+    included — and is compile+run tested against the Python integer
+    pipeline bit-for-bit (``tests/test_quantize.py``).
+    """
+    from pathlib import Path
+
+    layers = (
+        fold_batchnorm(params, batch_stats)
+        if fold_bn
+        else dense_layers(params)
+    )
+    if cfg.training.activation != "relu":
+        raise NotImplementedError(
+            "C export implements the deployed ReLU pipeline"
+        )
+    dims = [layers[0][0].shape[0]] + [k.shape[1] for k, _ in layers]
+    n_layers = len(layers)
+    lo_in, hi_in = q_range(info["Input"])
+
+    parts = [
+        "/* Generated by `amc quantize --emit-c` — int16 Q-format AMC\n"
+        " * classifier + reference integer inference. Formats follow\n"
+        " * arm-data/w_and_b.mat; numerics are bit-exact with\n"
+        " * amcpy_tpu.ops.quantize.quantized_predict_int. */\n",
+        "#ifndef AMC_WEIGHTS_H\n#define AMC_WEIGHTS_H\n",
+        "#include <stdint.h>\n#include <math.h>\n",
+        f"#define AMC_NUM_LAYERS {n_layers}\n"
+        f"#define AMC_INPUT_DIM {dims[0]}\n"
+        f"#define AMC_NUM_CLASSES {dims[-1]}\n"
+        f"#define AMC_MAX_DIM {max(dims)}\n",
+        "static const int amc_dims[AMC_NUM_LAYERS + 1] = {"
+        + ", ".join(str(d) for d in dims)
+        + "};\n",
+    ]
+    for li, (k, b) in enumerate(layers):
+        kq = quantize_array(k, info[f"Layer {li + 1} weights"])
+        bq = quantize_array(b, info[f"Layer {li + 1} biases"])
+        parts.append(_c_int16_array(f"amc_w{li}", kq))  # row-major (in,out)
+        parts.append(_c_int16_array(f"amc_b{li}", bq))
+    parts.append(
+        "static const int16_t *amc_weights[AMC_NUM_LAYERS] = {"
+        + ", ".join(f"amc_w{li}" for li in range(n_layers))
+        + "};\n"
+        "static const int16_t *amc_biases[AMC_NUM_LAYERS] = {"
+        + ", ".join(f"amc_b{li}" for li in range(n_layers))
+        + "};\n"
+    )
+
+    def fr(key):
+        return _frac_bits(info[key])
+
+    parts.append(
+        "static const int amc_frac_w[AMC_NUM_LAYERS] = {"
+        + ", ".join(str(fr(f"Layer {li + 1} weights")) for li in range(n_layers))
+        + "};\n"
+        "static const int amc_frac_b[AMC_NUM_LAYERS] = {"
+        + ", ".join(str(fr(f"Layer {li + 1} biases")) for li in range(n_layers))
+        + "};\n"
+        "static const int amc_frac_o[AMC_NUM_LAYERS] = {"
+        + ", ".join(str(fr(f"Layer {li + 1} outputs")) for li in range(n_layers))
+        + "};\n"
+        f"#define AMC_FRAC_IN {fr('Input')}\n"
+        f"#define AMC_IN_LO {float(lo_in)!r}f\n"
+        f"#define AMC_IN_HI {float(hi_in)!r}f\n"
+    )
+    mean = np.asarray(scaler.mean, np.float64)
+    std = np.asarray(scaler.std, np.float64)
+    parts.append(
+        "static const float amc_scaler_mean[AMC_INPUT_DIM] = {"
+        + ", ".join(f"{float(v)!r}f" for v in mean)
+        + "};\n"
+        "static const float amc_scaler_std[AMC_INPUT_DIM] = {"
+        + ", ".join(f"{float(v)!r}f" for v in std)
+        + "};\n"
+    )
+    parts.append(
+        """
+static inline int16_t amc__sat14(int64_t v) {
+    if (v > 16383) return 16383;
+    if (v < -16384) return -16384;
+    return (int16_t)v;
+}
+
+/* arithmetic right shift with round-half-to-even (== np.round(v/2^s)) */
+static inline int64_t amc__rshift_rhe(int64_t acc, int shift) {
+    int64_t fl, rem, half;
+    if (shift <= 0) return acc << (-shift);
+    fl = acc >> shift;
+    rem = acc - (fl << shift);
+    half = (int64_t)1 << (shift - 1);
+    if (rem > half || (rem == half && (fl & 1))) return fl + 1;
+    return fl;
+}
+
+/* raw 18-feature vector columns (already selected) -> class id */
+static inline int amc_classify(const float *features) {
+    int16_t h[AMC_MAX_DIM];
+    int16_t out[AMC_MAX_DIM];
+    int li, i, j, best;
+    int n_h = AMC_FRAC_IN;
+    for (i = 0; i < AMC_INPUT_DIM; i++) {
+        /* float32 standardization + float64 quantization: exactly the
+         * Python pipeline (Standardizer.transform is f32 math;
+         * quantize_array rounds in f64) so the export is bit-exact
+         * end-to-end */
+        float z32 = (features[i] - amc_scaler_mean[i]) / amc_scaler_std[i];
+        double z = (double)z32;
+        if (z < (double)AMC_IN_LO) z = (double)AMC_IN_LO;
+        if (z > (double)AMC_IN_HI) z = (double)AMC_IN_HI;
+        /* lrint: round-half-even in the default FP environment */
+        h[i] = (int16_t)lrint(z * (double)(1 << AMC_FRAC_IN));
+    }
+    for (li = 0; li < AMC_NUM_LAYERS; li++) {
+        const int16_t *w = amc_weights[li];
+        const int16_t *b = amc_biases[li];
+        int d_in = amc_dims[li], d_out = amc_dims[li + 1];
+        int b_shift = n_h + amc_frac_w[li] - amc_frac_b[li];
+        for (j = 0; j < d_out; j++) {
+            int64_t acc = 0;
+            for (i = 0; i < d_in; i++)
+                acc += (int64_t)h[i] * (int64_t)w[i * d_out + j];
+            if (b_shift >= 0) acc += ((int64_t)b[j]) << b_shift;
+            else acc += amc__rshift_rhe((int64_t)b[j], -b_shift);
+            if (li < AMC_NUM_LAYERS - 1 && acc < 0) acc = 0;
+            out[j] = amc__sat14(
+                amc__rshift_rhe(acc, n_h + amc_frac_w[li] - amc_frac_o[li]));
+        }
+        for (j = 0; j < d_out; j++) h[j] = out[j];
+        n_h = amc_frac_o[li];
+    }
+    best = 0;
+    for (j = 1; j < AMC_NUM_CLASSES; j++)
+        if (h[j] > h[best]) best = j;
+    return best;
+}
+
+#endif /* AMC_WEIGHTS_H */
+"""
+    )
+    out_path = Path(path) if path else cfg.paths.arm_data / "amc_weights.h"
+    cfg.paths.ensure_dirs()
+    out_path.write_text("".join(parts))
+    return out_path

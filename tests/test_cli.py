@@ -277,3 +277,14 @@ def test_eval_heldout_refuses_on_config_drift(project_root):
     assert _eval_cm_dataset(
         drifted, args_full, meta, lambda mode: ("x", "y")
     ) == ("x", "y")
+
+
+def test_quantize_emit_c(project_root):
+    """`amc quantize --emit-c` writes the self-contained firmware header."""
+    cfg_yaml = project_root / "cfg.yaml"
+    _run(project_root, "--config", str(cfg_yaml), "quantize", "--emit-c")
+    header = project_root / "arm-data" / "amc_weights.h"
+    assert header.exists()
+    text = header.read_text()
+    assert "amc_classify" in text and "AMC_NUM_CLASSES 6" in text
+    assert "amc_scaler_mean" in text  # standardizer ships with the model

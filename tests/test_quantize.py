@@ -297,3 +297,61 @@ def test_evaluate_quantized_by_snr_delta_budget(trained_like_state):
     # untrained model => near-chance everywhere, but the int16 pipeline
     # must track the float pipeline closely
     assert np.max(np.abs(acc_f - acc_q)) <= 0.1
+
+
+def test_emit_c_header_compiles_and_matches_int_pipeline(
+    tmp_path, trained_like_state
+):
+    """`amc quantize --emit-c` ships a compilable C implementation: gcc
+    builds the generated header and the binary's class ids match the
+    Python integer pipeline on every sample — the deployment artifact is
+    bit-exact end-to-end, not a layout the firmware must re-implement."""
+    import shutil
+    import subprocess
+
+    from amcpy_tpu.ops.quantize import (
+        emit_c_header,
+        quantize_model,
+        quantized_predict_int,
+    )
+    from amcpy_tpu.preprocessing import Standardizer
+
+    if not (shutil.which("gcc") or shutil.which("cc")):
+        pytest.skip("no C compiler")
+    model, params, bstats = trained_like_state
+    cfg = Config().replace(paths={"root": str(tmp_path)})
+    rng = np.random.default_rng(11)
+    raw = rng.standard_normal((64, 6)).astype(np.float32) * 2.0 + 0.3
+    scaler = Standardizer.fit(raw)
+    sample = scaler.transform(raw).astype(np.float32)
+    _, info = quantize_model(params, bstats, sample, cfg, save=False)
+
+    header = emit_c_header(
+        params, bstats, scaler, cfg, info, path=tmp_path / "amc_weights.h"
+    )
+    want = quantized_predict_int(params, bstats, sample, cfg, info)
+
+    rows = ",\n".join(
+        "{" + ", ".join(f"{float(v)!r}f" for v in row) + "}" for row in raw
+    )
+    (tmp_path / "main.c").write_text(
+        '#include <stdio.h>\n#include "amc_weights.h"\n'
+        f"static const float t[{len(raw)}][AMC_INPUT_DIM] = {{{rows}}};\n"
+        "int main(void) {\n"
+        f"    for (int s = 0; s < {len(raw)}; s++)\n"
+        '        printf("%d\\n", amc_classify(t[s]));\n'
+        "    return 0;\n}\n"
+    )
+    cc = shutil.which("gcc") or shutil.which("cc")
+    subprocess.run(
+        [cc, "-O2", "-o", str(tmp_path / "amc_test"),
+         str(tmp_path / "main.c"), "-lm"],
+        check=True, cwd=tmp_path, capture_output=True,
+    )
+    out = subprocess.run(
+        [str(tmp_path / "amc_test")], check=True, capture_output=True,
+        text=True,
+    )
+    got = np.asarray([int(v) for v in out.stdout.split()])
+    np.testing.assert_array_equal(got, want)
+    assert header.exists()
