@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
              "per-SNR accuracy overlay + both confusion matrices as figures",
     )
     quant_p.add_argument(
+        "--full-data", action="store_true",
+        help="with --compare: confusion matrices over the full dataset "
+             "(includes trained-on rows) instead of the checkpoint's "
+             "held-out split",
+    )
+    quant_p.add_argument(
         "--emit-c", action="store_true",
         help="also write arm-data/amc_weights.h — a self-contained C "
              "header (weights + standardizer + reference integer "
@@ -236,10 +242,10 @@ def cmd_info(cfg: Config, args: argparse.Namespace) -> None:
     print(f"native amc_io: {'built' if available() else 'unavailable (NumPy fallback)'}")
     from amcpy_tpu.parallel import mesh as mesh_mod
 
+    from amcpy_tpu.extraction import resolve_kernel
+
     kernel = cfg.compute.kernel
-    resolved = (
-        "fused" if jax.default_backend() != "cpu" else "xla"
-    ) if kernel == "auto" else kernel
+    resolved = resolve_kernel(kernel)
     print(f"extraction kernel: {kernel}"
           + (f" (resolves to {resolved})" if kernel == "auto" else ""))
     print(
@@ -695,7 +701,9 @@ def cmd_quantize(cfg: Config, args: argparse.Namespace) -> None:
         # would still inflate both CMs)
         x_all, y_all = _eval_cm_dataset(
             cfg,
-            argparse.Namespace(mode="test", full_data=False),
+            argparse.Namespace(
+                mode="test", full_data=getattr(args, "full_data", False)
+            ),
             meta,
             lambda mode: build_dataset(features, cfg, mode),
         )

@@ -29,7 +29,23 @@ from amcpy_tpu.ops.features import NUM_FEATURES, extract_features_planar
 from amcpy_tpu.parallel.mesh import make_mesh, shard_batch
 from amcpy_tpu.utils.metrics import MetricsLogger, stage_timer
 
-__all__ = ["extract_batch", "run_extraction", "run_extraction_synthetic"]
+__all__ = [
+    "extract_batch",
+    "resolve_kernel",
+    "run_extraction",
+    "run_extraction_synthetic",
+]
+
+
+def resolve_kernel(kernel: str) -> str:
+    """The single source of truth for ``kernel="auto"``: the full-fusion
+    Pallas kernel on accelerator backends (fastest measured single-chip
+    configuration, BENCH r3/r4), the XLA kernel on CPU (where Mosaic only
+    runs interpreted). Used by extraction, serving, and ``amc info`` so
+    the diagnostic can never disagree with the routing."""
+    if kernel == "auto":
+        return "fused" if jax.default_backend() != "cpu" else "xla"
+    return kernel
 
 _FUSED_PROBE_CACHE: dict[int, bool] = {}
 
@@ -97,8 +113,7 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
     back to XLA if the lowering fails, so an exotic shape can never
     break extraction.
     """
-    if kernel == "auto":
-        kernel = "fused" if jax.default_backend() != "cpu" else "xla"
+    kernel = resolve_kernel(kernel)
     seq_sharded = len(mesh.axis_names) > 1 and mesh.shape[mesh.axis_names[-1]] > 1
     if seq_sharded:
         from amcpy_tpu.parallel.sp import extract_features_sp

@@ -531,9 +531,11 @@ static inline int16_t amc__sat14(int64_t v) {
 /* arithmetic right shift with round-half-to-even (== np.round(v/2^s)) */
 static inline int64_t amc__rshift_rhe(int64_t acc, int shift) {
     int64_t fl, rem, half;
-    if (shift <= 0) return acc << (-shift);
+    /* multiply, not <<: left-shifting negative signed values is UB in
+     * C17 6.5.7p4 (flagged by UBSan in firmware builds) */
+    if (shift <= 0) return acc * ((int64_t)1 << (-shift));
     fl = acc >> shift;
-    rem = acc - (fl << shift);
+    rem = acc - fl * ((int64_t)1 << shift);
     half = (int64_t)1 << (shift - 1);
     if (rem > half || (rem == half && (fl & 1))) return fl + 1;
     return fl;
@@ -566,7 +568,8 @@ static inline int amc_classify(const float *features) {
             int64_t acc = 0;
             for (i = 0; i < d_in; i++)
                 acc += (int64_t)h[i] * (int64_t)w[i * d_out + j];
-            if (b_shift >= 0) acc += ((int64_t)b[j]) << b_shift;
+            if (b_shift >= 0)
+                acc += (int64_t)b[j] * ((int64_t)1 << b_shift);
             else acc += amc__rshift_rhe((int64_t)b[j], -b_shift);
             if (li < AMC_NUM_LAYERS - 1 && acc < 0) acc = 0;
             out[j] = amc__sat14(

@@ -121,12 +121,10 @@ class AMCPipeline:
         self._cols = jnp.asarray(list(cfg.features.used_columns))
         self._mean = jnp.asarray(scaler.mean, jnp.float32)
         self._std = jnp.asarray(scaler.std, jnp.float32)
+        from amcpy_tpu.extraction import resolve_kernel
+
         # "auto" = fused on accelerators, xla on CPU (matches extraction)
-        self._kernel = cfg.compute.kernel
-        if self._kernel == "auto":
-            self._kernel = (
-                "fused" if jax.default_backend() != "cpu" else "xla"
-            )
+        self._kernel = resolve_kernel(cfg.compute.kernel)
         # Mosaic is TPU-only: every Pallas path (fused/pallas extraction,
         # the fused CNN trunk) runs interpreted off-TPU
         self._interpret = jax.default_backend() == "cpu"
@@ -199,20 +197,27 @@ class AMCPipeline:
             )
         return self._dev_consts[dev]
 
-    def logits(self, frames: np.ndarray) -> jax.Array:
+    def logits(self, frames: np.ndarray) -> "jax.Array | np.ndarray":
         iq = self._to_device_planar(frames)
         b = iq.shape[0]
         devs = jax.local_devices()
         if (
             self.multi_device
             and len(devs) > 1
-            and b >= 2 * self.MIN_BUCKET
+            # break-even: every device must receive at least a full
+            # minimum bucket, or the per-chunk pad work exceeds the
+            # single-device dispatch (review r4)
+            and b >= len(devs) * self.MIN_BUCKET
         ):
             # batch-parallel serving: round-robin contiguous chunks over
             # every local device; dispatches are async, so all devices
             # run concurrently and results gather in order. (Scale-out
             # ACROSS hosts stays one server process per host behind an
-            # ordinary load balancer.)
+            # ordinary load balancer.) NOTE: the cross-device gather
+            # blocks, so callers that pipeline around an un-fetched
+            # device array (classify_stream) lose read/compute overlap
+            # on multi-device hosts — in exchange each chunk finishes
+            # len(devs)x faster.
             bounds = np.linspace(0, b, len(devs) + 1).astype(int)
             outs = [
                 self._dispatch(
@@ -222,10 +227,10 @@ class AMCPipeline:
                 if hi > lo
             ]
             # chunks live on different devices: gather on the host (every
-            # dispatch is already in flight before the first fetch)
-            return jnp.asarray(
-                np.concatenate([np.asarray(o) for o in outs], axis=0)
-            )
+            # dispatch is already in flight before the first fetch); the
+            # result stays a host array — re-uploading logits nobody
+            # computes on would be a wasted H2D round trip
+            return np.concatenate([np.asarray(o) for o in outs], axis=0)
         return self._dispatch(iq)
 
     def predict(self, frames: np.ndarray) -> np.ndarray:

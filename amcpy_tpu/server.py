@@ -66,8 +66,14 @@ class AMCServer:
         self._infer_lock = threading.Lock()
         self._requests = 0
         self._frames = 0
+        # bind the socket FIRST so early clients queue in the accept
+        # backlog (a load balancer health-checking during startup sees a
+        # slow connect, not ECONNREFUSED), THEN warm the compile cache
+        handler = _make_handler(self)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
         if warmup:
-            # compile the smallest bucket before accepting traffic so the
+            # compile the smallest bucket before serving traffic so the
             # first request doesn't pay the trace+compile (measured ~20 s
             # on a cold TPU process for the fused pipeline)
             dummy = np.zeros(
@@ -75,9 +81,6 @@ class AMCServer:
             )
             dummy[:, 0, 0] = 1.0  # non-degenerate frame (RMS > 0)
             self.pipe.predict(dummy)
-        handler = _make_handler(self)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
-        self.httpd.daemon_threads = True
 
     @property
     def address(self) -> tuple[str, int]:

@@ -177,7 +177,9 @@ def test_extract_without_dataset_friendly_error(tmp_path):
 
 
 def test_eval_cm_uses_heldout_split(project_root):
-    """`amc eval` and `amc train` must report the SAME confusion matrix
+    """Runs after test_full_pipeline (module-scoped fixture keeps artifacts).
+
+    `amc eval` and `amc train` must report the SAME confusion matrix
     for the same checkpoint: eval reproduces the held-out split from the
     seed/test_size recorded in the sidecar (VERDICT r3 item 5 — the old
     eval CM included the 80% trained-on rows)."""
@@ -224,7 +226,8 @@ def test_eval_cm_uses_heldout_split(project_root):
 
 
 def test_resume_adopts_checkpoint_optimizer(project_root):
-    """Resuming without re-passing --optimizer/--lr must restore the
+    """Runs after test_full_pipeline (module-scoped fixture keeps
+    artifacts). Resuming without re-passing --optimizer/--lr must restore the
     checkpoint's recorded optimizer (ADVICE r3: an optimizer switch on
     resume crashes on the opt-state pytree or silently changes training)."""
     cfg_yaml = project_root / "cfg.yaml"
@@ -254,7 +257,9 @@ def test_resume_adopts_checkpoint_optimizer(project_root):
 
 
 def test_eval_heldout_refuses_on_config_drift(project_root):
-    """If the dataset/SNR selection changed since training, the held-out
+    """Runs after test_full_pipeline (module-scoped fixture keeps artifacts).
+
+    If the dataset/SNR selection changed since training, the held-out
     split cannot be reproduced — eval must refuse with a clear error
     instead of silently scoring trained-on rows (code-review r4)."""
     import argparse
@@ -280,7 +285,8 @@ def test_eval_heldout_refuses_on_config_drift(project_root):
 
 
 def test_quantize_emit_c(project_root):
-    """`amc quantize --emit-c` writes the self-contained firmware header."""
+    """Runs after test_full_pipeline (module-scoped fixture keeps
+    artifacts): `amc quantize --emit-c` writes the firmware header."""
     cfg_yaml = project_root / "cfg.yaml"
     _run(project_root, "--config", str(cfg_yaml), "quantize", "--emit-c")
     header = project_root / "arm-data" / "amc_weights.h"

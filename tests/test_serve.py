@@ -262,13 +262,15 @@ def test_pipeline_multi_device_batch_parity(trained_project):
     cfg, model_id = trained_project
     pipe = AMCPipeline.from_checkpoint(cfg, model_id)
     raw = io_mat.load_modulation(cfg, "8PSK")  # (16, 30, 256)
-    frames = np.ascontiguousarray(raw.reshape(-1, 256))  # 480 frames
+    frames = np.ascontiguousarray(
+        np.tile(raw.reshape(-1, 256), (2, 1))
+    )  # 960 frames >= 8 devices x MIN_BUCKET (the fan-out break-even)
 
     pipe.multi_device = False
     single = np.asarray(pipe.logits(frames))
     pipe.multi_device = True
     multi = np.asarray(pipe.logits(frames))
-    assert multi.shape == single.shape == (480, 6)
+    assert multi.shape == single.shape == (960, 6)
     np.testing.assert_allclose(multi, single, atol=1e-5)
     # the fan-out actually used more than one device (consts cached per
     # device it dispatched to)
