@@ -168,6 +168,27 @@ has ONE number, with its error bar, everywhere.
 
 Batch flatness of the fused family (max/min): {flatness}.
 {e2e_md}{families}
+## New in round 4 (beyond the numbers above)
+
+* **Streaming host path** — multi-stream shard-aware H2D staging,
+  loader-thread prefetch, phase instrumentation end-to-end
+  (PROFILE_r4_hostpath.md has the wire decomposition).
+* **`amc serve`** — stdlib HTTP classification server over the fused
+  pipeline (bucketed batches, warmup at startup, driven live on the
+  TPU); large batches fan out over every local device.
+* **Fused Pallas CNN inference trunk** (`ops/cnn_infer.py`) — BN folded,
+  one VMEM pass, compiled-on-hardware parity tests.
+* **`amc quantize --emit-c`** — firmware-ready C header with a
+  reference integer inference routine, gcc-compile-tested bit-exact
+  against the Python int16 pipeline.
+* **Paired-seed accuracy parity** with an assertable budget
+  (PARITY_r4.md: 0/96,000 frames outside tolerance; budget PASS over 5
+  seeds), held-out evaluation everywhere (`amc eval`/`quantize
+  --compare` reproduce the checkpoint's own split, with drift
+  detection), no shared-filesystem assumption multi-host, and two
+  self-code-review passes whose 14 findings were all fixed with
+  regression tests this same round.
+
 ## Methodology
 
 * Kernel timing: `lax.fori_loop` slope between a short and a long
