@@ -252,6 +252,12 @@ def cmd_info(cfg: Config, args: argparse.Namespace) -> None:
     resolved = resolve_kernel(kernel)
     print(f"extraction kernel: {kernel}"
           + (f" (resolves to {resolved})" if kernel == "auto" else ""))
+    from amcpy_tpu.ops.wire import resolve_wire_format
+
+    wf = cfg.compute.wire_format
+    print(f"wire format: {wf}"
+          + (f" (resolves to {resolve_wire_format(wf)})"
+             if wf == "auto" else ""))
     print(
         f"H2D staging: {mesh_mod._H2D_STREAMS} streams x "
         f"{mesh_mod._STAGE_CHUNK_BYTES >> 20} MB chunks "

@@ -254,6 +254,20 @@ class ComputeConfig:
     # the same float64 oracle. "auto" (default) = "fused" on accelerator
     # backends with a probed fallback to "xla", plain "xla" on CPU.
     kernel: str = "auto"
+    # Host->device wire codec for raw IQ frames (ops/wire.py): "int24"
+    # ships 3 bytes/sample as block-floating-point integers dequantized
+    # on device (25% fewer wire bytes), "int16" ships 2 bytes/sample,
+    # "f32" ships raw planes. "auto" = "int24" on TPU backends (where
+    # the tunneled wire is the end-to-end bottleneck), "f32" elsewhere.
+    # Applies to the fused-kernel extraction path. Gating evidence
+    # (scripts/wire_gate.py over the FULL 96k-frame dataset vs the
+    # float64 oracle, metrics/wire_gate.json): int24 worst-case consumes
+    # ~0.84 of the reference-parity tolerance budget — dominated by
+    # sigma_dp, the phase of near-zero samples, whose sensitivity tail
+    # grows with frame count — vs ~0.12 for the f32 control; still 0
+    # frames outside tolerance at full scale (`amc parity`). int16
+    # breaks the budget (2-8x, the committed negative arm).
+    wire_format: str = "auto"
 
 
 # ---------------------------------------------------------------------------

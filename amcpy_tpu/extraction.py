@@ -88,7 +88,10 @@ def _fused_compiles(frame_size: int, interpret: bool) -> bool:
     return ok
 
 
-def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
+def _kernel_fn(
+    mesh, kernel: str, normalize_scale: bool, gmax_mode: str,
+    wire: str = "f32",
+):
     """Resolve the per-chunk extractor for the configured kernel + mesh.
 
     Routing (VERDICT r1 item 2 — every kernel is reachable from the
@@ -153,6 +156,29 @@ def _kernel_fn(mesh, kernel: str, normalize_scale: bool, gmax_mode: str):
             interpret=interpret,
         )
         data_axis = mesh.axis_names[0]
+        if wire != "f32":
+            # wire-codec variant: inputs arrive as block-float integers
+            # (ops/wire.py) and dequantize ON DEVICE inside the same
+            # shard_map program as the kernel — the caller
+            # (extract_batch) has already settled the fused-route
+            # fallback, so no per-call rerouting here
+            from amcpy_tpu.ops.wire import decode_plane
+
+            n_enc = 4 if wire == "int24" else 2
+
+            def base_wire(*enc):
+                half = n_enc // 2
+                i = decode_plane(*enc[:half], enc[-1], fmt=wire)
+                q = decode_plane(*enc[half:-1], enc[-1], fmt=wire)
+                return base(i, q)
+
+            inner = jax.shard_map(
+                base_wire, mesh=mesh,
+                in_specs=tuple(P(data_axis) for _ in range(n_enc + 1)),
+                out_specs=P(data_axis),
+                check_vma=False,
+            )
+            return jax.jit(inner), False, True
         # ALWAYS shard_map (even on a 1-device mesh): pallas_call requires
         # every mesh axis to be Manual, and the pipeline's explicit-axis
         # meshes would otherwise reject it outright
@@ -229,6 +255,7 @@ def extract_batch(
     normalize_scale: bool = True,
     gmax_mode: str = "matmul",
     kernel: str = "xla",
+    wire: str = "f32",
     timings: dict | None = None,
 ) -> np.ndarray:
     """Extract features for a host batch ``(B, N)`` -> ``(B, 18)`` float32.
@@ -239,12 +266,19 @@ def extract_batch(
     so arbitrarily large datasets stream through HBM. XLA inserts any
     needed collectives from the sharding annotations alone.
 
+    ``wire`` — host->device codec (``ops/wire.py``): ``int24`` ships
+    3 bytes/sample as block-float integers dequantized on device (25%
+    fewer bytes on the transfer-bound path), ``int16`` 2 bytes/sample,
+    ``auto`` resolves per backend. Applies only when the fused-kernel
+    route is taken; other routes upload raw f32.
+
     ``timings`` — optional dict, filled with a zero-overhead phase
     breakdown of the host path (VERDICT r3 items 1/7):
-    ``host_prep_s`` (planarize + pad, synchronous host work),
-    ``h2d_s`` (device_put calls — includes wire time if the backend's
-    put blocks), ``wait_s`` (device_get waits: compute + any transfer
-    backlog the pipeline failed to overlap), ``bytes_h2d``.
+    ``host_prep_s`` (planarize + pad + wire-encode, synchronous host
+    work), ``h2d_s`` (device_put calls — includes wire time if the
+    backend's put blocks), ``wait_s`` (device_get waits: compute + any
+    transfer backlog the pipeline failed to overlap), ``bytes_h2d``
+    (actual bytes shipped, after the codec).
     """
     import time as _time
 
@@ -275,8 +309,31 @@ def extract_batch(
             samples = 1 << 25
         chunk_size = max(256, samples // max(frames.shape[-1], 1) * n_data)
     out = np.empty((b, NUM_FEATURES), dtype=np.float32)
+    # settle the wire codec BEFORE building the kernel: it only applies
+    # when the fused route will actually be taken (the codec's decode is
+    # fused into the shard_map program, so there is no per-call fallback)
+    from amcpy_tpu.ops.wire import encode_planes, resolve_wire_format
+
+    wire = resolve_wire_format(wire)
+    if wire != "f32":
+        resolved = resolve_kernel(kernel)
+        seq_probe = (
+            len(mesh.axis_names) > 1
+            and mesh.shape[mesh.axis_names[-1]] > 1
+        )
+        if resolved != "fused" or seq_probe:
+            wire = "f32"
+        else:
+            from amcpy_tpu.ops.fft import best_factorization
+
+            interpret = jax.default_backend() == "cpu"
+            n = frames.shape[-1]
+            if best_factorization(n) is None or not _fused_compiles(
+                n, interpret
+            ):
+                wire = "f32"
     kern, seq_sharded, wants_planes = _kernel_fn(
-        mesh, kernel, normalize_scale, gmax_mode
+        mesh, kernel, normalize_scale, gmax_mode, wire=wire
     )
     from amcpy_tpu.data.native_io import planarize
 
@@ -301,12 +358,20 @@ def extract_batch(
             n_data = mesh.shape[mesh.axis_names[0]]
             ih, orig = pad_to_multiple(ih, 64 * n_data)
             qh, _ = pad_to_multiple(qh, 64 * n_data)
-            t1 = _time.perf_counter()
-            i_arr, _ = shard_batch(ih, mesh)
-            q_arr, _ = shard_batch(qh, mesh)
-            t2 = _time.perf_counter()
-            bytes_h2d += ih.nbytes + qh.nbytes
-            feats = kern(i_arr, q_arr)
+            if wire != "f32":
+                enc = encode_planes(ih, qh, wire)
+                t1 = _time.perf_counter()
+                arrs = [shard_batch(e, mesh)[0] for e in enc]
+                t2 = _time.perf_counter()
+                bytes_h2d += sum(e.nbytes for e in enc)
+                feats = kern(*arrs)
+            else:
+                t1 = _time.perf_counter()
+                i_arr, _ = shard_batch(ih, mesh)
+                q_arr, _ = shard_batch(qh, mesh)
+                t2 = _time.perf_counter()
+                bytes_h2d += ih.nbytes + qh.nbytes
+                feats = kern(i_arr, q_arr)
         else:
             chunk = planarize(frames[start : start + chunk_size])
             t1 = _time.perf_counter()
@@ -336,6 +401,7 @@ def extract_batch(
         timings["h2d_s"] = timings.get("h2d_s", 0.0) + t_h2d
         timings["wait_s"] = timings.get("wait_s", 0.0) + t_wait
         timings["bytes_h2d"] = timings.get("bytes_h2d", 0) + bytes_h2d
+        timings["wire"] = wire
     return out
 
 
@@ -432,6 +498,7 @@ def run_extraction(
                     normalize_scale=cfg.compute.normalize_scale,
                     gmax_mode=cfg.compute.gmax_mode,
                     kernel=cfg.compute.kernel,
+                    wire=cfg.compute.wire_format,
                     timings=tim,
                 )
                 rec["frames"] = int(flat.shape[0])

@@ -78,6 +78,20 @@ class IQConvNet(nn.Module):
     dense: int = 128
     dropout: float = 0.5
     dtype: str = "bfloat16"
+    #: train-time augmentation (inactive at eval). ``aug_phase`` rotates
+    #: each frame by a random carrier phase (label-preserving for every
+    #: shipped constellation; teaches phase invariance instead of letting
+    #: the head memorize the synthesizer's phase conventions).
+    aug_phase: bool = False
+    #: ``aug_noise_snr_db=(lo, hi)`` adds per-frame AWGN at a random
+    #: added-noise SNR drawn from U(lo, hi) dB with probability
+    #: ``aug_noise_prob`` — SNR mixing. The reference protocol trains
+    #: only on 10-20 dB blocks yet evaluates down to -10 dB
+    #: (``config.py:155-160``); the feature MLP's cumulants extrapolate
+    #: there by construction, the raw-IQ net must be SHOWN low SNR.
+    #: lo = -12 synthesizes frames down to ~-12 dB effective SNR.
+    aug_noise_snr_db: tuple[float, float] | None = None
+    aug_noise_prob: float = 0.75
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -88,6 +102,36 @@ class IQConvNet(nn.Module):
         dt = jnp.dtype(self.dtype)
         # (B, 2, N) planar -> per-frame RMS normalization -> NWC (B, N, 2)
         x = jnp.asarray(x, jnp.float32)
+        if train and (self.aug_phase or self.aug_noise_snr_db is not None):
+            k_ph, k_snr, k_n, k_p = jax.random.split(
+                self.make_rng("dropout"), 4
+            )
+            b = x.shape[0]
+            if self.aug_phase:
+                th = jax.random.uniform(
+                    k_ph, (b, 1), maxval=2 * jnp.pi, dtype=jnp.float32
+                )
+                c, s = jnp.cos(th), jnp.sin(th)
+                i, q = x[:, 0, :], x[:, 1, :]
+                x = jnp.stack([i * c - q * s, i * s + q * c], axis=1)
+            if self.aug_noise_snr_db is not None:
+                lo, hi = self.aug_noise_snr_db
+                snr = jax.random.uniform(
+                    k_snr, (b, 1, 1), minval=lo, maxval=hi,
+                    dtype=jnp.float32,
+                )
+                # per-component noise variance for the drawn added-noise
+                # SNR: v = mean(x^2) * 10^(-snr/10) (mean over both
+                # planes = half the total power, matching complex AWGN
+                # split evenly over I/Q)
+                p_sig = jnp.mean(jnp.square(x), axis=(-2, -1), keepdims=True)
+                v = p_sig * jnp.power(jnp.float32(10.0), -snr / 10.0)
+                keep = (
+                    jax.random.uniform(k_p, (b, 1, 1)) < self.aug_noise_prob
+                )
+                x = x + jnp.where(
+                    keep, jnp.sqrt(v), 0.0
+                ) * jax.random.normal(k_n, x.shape, jnp.float32)
         rms = jnp.sqrt(
             jnp.mean(jnp.square(x), axis=(-2, -1), keepdims=True) + 1e-12
         )

@@ -298,6 +298,7 @@ def run_parity(
         normalize_scale=cfg.compute.normalize_scale,
         gmax_mode=cfg.compute.gmax_mode,
         kernel=cfg.compute.kernel,
+        wire=cfg.compute.wire_format,
     )
     warmup_s = time.perf_counter() - t
 
@@ -325,6 +326,7 @@ def run_parity(
             normalize_scale=cfg.compute.normalize_scale,
             gmax_mode=cfg.compute.gmax_mode,
             kernel=cfg.compute.kernel,
+            wire=cfg.compute.wire_format,
             timings=mod_tim,
         ).astype(np.float64)
         mod_wall = time.perf_counter() - t

@@ -728,6 +728,15 @@ def main() -> None:
         rec["training"] = training
     if e2e is not None:
         rec["end_to_end"] = e2e
+    # persist the full record next to the printed line: the single
+    # source of truth README/RESULTS/SCALING render from (the driver's
+    # BENCH_rNN.json keeps only the stdout tail — VERDICT r4 weak #5)
+    try:
+        os.makedirs("metrics", exist_ok=True)
+        with open("metrics/bench_latest.json", "w") as f:
+            json.dump(rec, f, indent=2)
+    except Exception as exc:
+        _log(f"[bench] could not persist metrics/bench_latest.json: {exc!r}")
     print(json.dumps(rec))
 
 

@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--frame-size", type=int, default=2048)
     ap.add_argument("--epochs", type=int, default=21)
+    ap.add_argument(
+        "--families", default="mlp,cnn",
+        help="comma list of mlp,cnn,cnn_aug; results merge into an "
+             "existing metrics/cnn_vs_mlp.json so arms can run "
+             "separately (cnn_aug = phase-rotation + SNR-mixing "
+             "augmentation targeting the low-SNR gap)",
+    )
     args = ap.parse_args()
 
     from amcpy_tpu.config import Config
@@ -61,14 +68,16 @@ def main() -> None:
     print("[cnn_vs_mlp] extracting features for the MLP arm ...")
     features = run_extraction(cfg)
 
-    results: dict[str, dict] = {
-        "config": {
-            "frames": args.frames,
-            "frame_size": args.frame_size,
-            "epochs": args.epochs,
-            "seeds": args.seeds,
-            "snr_db": list(cfg.signals.snr_db),
-        }
+    out_json = Path("metrics") / "cnn_vs_mlp.json"
+    results: dict[str, dict] = (
+        json.loads(out_json.read_text()) if out_json.exists() else {}
+    )
+    results["config"] = {
+        "frames": args.frames,
+        "frame_size": args.frame_size,
+        "epochs": args.epochs,
+        "seeds": args.seeds,
+        "snr_db": list(cfg.signals.snr_db),
     }
 
     # the split is a pure function of (labels, test_size, seed), so the
@@ -81,7 +90,19 @@ def main() -> None:
         "(train_frame_mask); val_accuracy is the 20% held-out split"
     )
 
-    for family in ("mlp", "cnn"):
+    n_classes = len(cfg.signals.modulations_with_noise)
+    cnn_models = {
+        "cnn": IQConvNet(n_classes=n_classes),
+        # phase-rotation + SNR-mixing augmentation (VERDICT r4 item 7):
+        # training only sees 10-20 dB blocks while eval spans -10..20 dB;
+        # noise injection synthesizes the missing low-SNR regime
+        "cnn_aug": IQConvNet(
+            n_classes=n_classes,
+            aug_phase=True,
+            aug_noise_snr_db=(-12.0, 25.0),
+        ),
+    }
+    for family in [f for f in args.families.split(",") if f]:
         curves = []
         val_accs = []
         for seed in range(args.seeds):
@@ -98,9 +119,7 @@ def main() -> None:
                 x_tr, x_te, y_tr, y_te = preprocess_raw(data, cfg)
                 model, state, hist, _ = train(
                     cfg, x_tr, y_tr, x_te, y_te, seed=seed,
-                    model=IQConvNet(
-                        n_classes=len(cfg.signals.modulations_with_noise)
-                    ),
+                    model=cnn_models[family],
                 )
                 acc = evaluate_by_snr_raw(
                     model, state, data, cfg, exclude_mask=excl
@@ -175,7 +194,13 @@ def main() -> None:
 
         snr = list(cfg.signals.snr_db)
         fig, ax = plt.subplots(figsize=(8, 5))
-        for family, color in (("mlp", "tab:blue"), ("cnn", "tab:red")):
+        palette = (
+            ("mlp", "tab:blue"), ("cnn", "tab:red"),
+            ("cnn_aug", "tab:green"),
+        )
+        for family, color in palette:
+            if family not in results:
+                continue
             m = np.asarray(results[family]["per_snr_mean"])
             s = np.asarray(results[family]["per_snr_std"])
             ax.plot(snr, m, color=color, marker="o", label=family.upper())

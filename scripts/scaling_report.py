@@ -43,14 +43,33 @@ def main() -> None:
                     help="global frames per extraction step")
     ap.add_argument("--frame-size", type=int, default=2048)
     ap.add_argument(
-        "--chip-frames-per-s", type=float, default=7.87e6,
-        help="measured single-chip extraction rate (BENCH_r03 flagship, fused kernel)")
+        "--chip-frames-per-s", type=float, default=None,
+        help="measured single-chip extraction rate; default: the "
+             "flagship from the newest BENCH_local_r*.json (one source "
+             "of truth — VERDICT r4 weak #4)")
     ap.add_argument(
         "--ici-gbps", type=float, default=186.0,
         help="per-chip ICI bandwidth, GB/s (v5e: 4 links x ~46.5 GB/s)")
     ap.add_argument("--measure", action="store_true",
                     help="also run the fixed-total-batch overhead sweep")
     args = ap.parse_args()
+
+    flagship_src = "--chip-frames-per-s"
+    if args.chip_frames_per_s is None:
+        import glob
+        import json as _json
+        from pathlib import Path as _Path
+
+        cands = sorted(glob.glob("BENCH_local_r*.json"))
+        if not cands:
+            raise SystemExit(
+                "no BENCH_local_r*.json found - pass --chip-frames-per-s"
+            )
+        rec = _json.loads(_Path(cands[-1]).read_text())
+        args.chip_frames_per_s = float(rec["value"])
+        flagship_src = (
+            f"{cands[-1]} flagship {rec['roofline']['flagship']}"
+        )
 
     import jax
 
@@ -186,7 +205,7 @@ def main() -> None:
 
     print("## 2. Analytic weak-scaling bound on TPU ICI")
     print()
-    print(f"Single-chip extraction rate (BENCH_r03 flagship, fused kernel): "
+    print(f"Single-chip extraction rate ({flagship_src}): "
           f"{args.chip_frames_per_s:,.0f} frames/s -> per-device step time "
           f"{chip_t_ms:.3f} ms at {args.batch}/{n} frames/device. "
           f"ICI per chip (v5e, 4 links): ~{args.ici_gbps:.0f} GB/s.")

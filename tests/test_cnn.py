@@ -249,3 +249,73 @@ def test_supports_fused_requires_bf16():
 
     assert supports_fused(IQConvNet(n_classes=6))
     assert not supports_fused(IQConvNet(n_classes=6, dtype="float32"))
+
+
+def test_cnn_augmentation_train_only():
+    """Phase-rotation + SNR-mixing augmentation perturbs the TRAIN-mode
+    forward (stochastic via the dropout rng) but leaves eval untouched:
+    eval logits of the augmented model equal the plain model's under the
+    same parameters."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amcpy_tpu.models.cnn import IQConvNet
+
+    kw = dict(
+        n_classes=6, channels=(8, 16), kernel_sizes=(1, 1), strides=(1, 1),
+        dense=16, dtype="float32",
+    )
+    plain = IQConvNet(**kw)
+    aug = IQConvNet(
+        **kw, aug_phase=True, aug_noise_snr_db=(-12.0, 25.0)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 2, 64)),
+        jnp.float32,
+    )
+    v = plain.init(jax.random.key(0), x, train=False)
+    # eval: augmentation flags change nothing
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(v, x, train=False)),
+        np.asarray(aug.apply(v, x, train=False)),
+    )
+    # train: augmented forward differs from plain and is rng-dependent
+    rng = {"dropout": jax.random.key(1)}
+    a1, _ = aug.apply(v, x, train=True, mutable=["batch_stats"], rngs=rng)
+    p1, _ = plain.apply(v, x, train=True, mutable=["batch_stats"], rngs=rng)
+    assert not np.allclose(np.asarray(a1), np.asarray(p1))
+    a2, _ = aug.apply(
+        v, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(2)},
+    )
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+
+def test_cnn_phase_rotation_preserves_magnitude_stats():
+    """A pure phase rotation must not change per-frame power, so the
+    RMS-normalized augmented input keeps unit power (sanity of the
+    rotation algebra)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from amcpy_tpu.models.cnn import IQConvNet
+
+    model = IQConvNet(
+        n_classes=6, channels=(8,), kernel_sizes=(1,), strides=(1,),
+        dense=8, dtype="float32", aug_phase=True,
+    )
+    rng = np.random.default_rng(1)
+    i = rng.standard_normal((8, 64)).astype(np.float32)
+    q = rng.standard_normal((8, 64)).astype(np.float32)
+    x = jnp.asarray(np.stack([i, q], axis=1))
+    # rotate manually with the same algebra the model uses
+    th = 1.2345
+    c, s = np.cos(th), np.sin(th)
+    rot = np.stack([i * c - q * s, i * s + q * c], axis=1)
+    np.testing.assert_allclose(
+        np.sum(rot**2, axis=(1, 2)),
+        np.asarray(jnp.sum(x**2, axis=(1, 2))),
+        rtol=1e-5,
+    )

@@ -120,9 +120,9 @@ def test_run_extraction_uses_configured_kernel(tiny_cfg, monkeypatch):
     seen = []
     real = ex._kernel_fn
 
-    def spy(mesh, kernel, normalize_scale, gmax_mode):
+    def spy(mesh, kernel, normalize_scale, gmax_mode, wire="f32"):
         seen.append(kernel)
-        return real(mesh, kernel, normalize_scale, gmax_mode)
+        return real(mesh, kernel, normalize_scale, gmax_mode, wire=wire)
 
     monkeypatch.setattr(ex, "_kernel_fn", spy)
     cfg = tiny_cfg.replace(compute={"kernel": "pallas"})
