@@ -31,6 +31,8 @@ from amcpy_tpu.utils.metrics import MetricsLogger, stage_timer
 
 __all__ = [
     "extract_batch",
+    "prepare_frames",
+    "PreparedBatch",
     "resolve_kernel",
     "run_extraction",
     "run_extraction_synthetic",
@@ -247,8 +249,149 @@ def _kernel_fn(
     return fn, False, False
 
 
+def _default_chunk_size(mesh, frame_size: int) -> int:
+    n_data = mesh.devices.size // (
+        mesh.shape[mesh.axis_names[-1]]
+        if len(mesh.axis_names) > 1 else 1
+    )
+    if jax.default_backend() == "cpu":
+        # ~2M samples per DEVICE step: when the (chunk, N)-sized
+        # elementwise temporaries fit XLA's alternate-memory (VMEM)
+        # assignment, no intermediate round-trips HBM (bench round 2:
+        # 1024-frame chunks at N=2048 run 7.6-9.8M frames/s vs 3.7M
+        # at 4096); also keeps the CPU-mesh test suite snappy.
+        samples = 1 << 21
+    else:
+        # Accelerators: ~32M samples (256 MB planar) per host slab.
+        # The end-to-end flow is WIRE-bound on tunneled backends
+        # (~11 MB/s single-stream), and put_global splits a slab this
+        # size into ~8 concurrent 32 MB streams (~3x aggregate wire
+        # bandwidth, scripts/host_path_probe.py). The fused kernel is
+        # batch-flat (BENCH r3: 7.6M frames/s at 16384), so the
+        # larger device step costs nothing while transfer dominates.
+        samples = 1 << 25
+    return max(256, samples // max(frame_size, 1) * n_data)
+
+
+def _settle_wire(mesh, kernel: str, wire: str, frame_size: int) -> str:
+    """Final wire codec for this call: the codec only applies when the
+    fused route will actually be taken (its decode is compiled into the
+    shard_map program, so there is no per-call fallback)."""
+    from amcpy_tpu.ops.wire import resolve_wire_format
+
+    wire = resolve_wire_format(wire)
+    if wire == "f32":
+        return wire
+    seq_probe = (
+        len(mesh.axis_names) > 1 and mesh.shape[mesh.axis_names[-1]] > 1
+    )
+    if resolve_kernel(kernel) != "fused" or seq_probe:
+        return "f32"
+    from amcpy_tpu.ops.fft import best_factorization
+
+    interpret = jax.default_backend() == "cpu"
+    if best_factorization(frame_size) is None or not _fused_compiles(
+        frame_size, interpret
+    ):
+        return "f32"
+    return wire
+
+
+def _prep_chunk(
+    frames_slice: np.ndarray,
+    mesh,
+    wants_planes: bool,
+    wire: str,
+) -> tuple[tuple[np.ndarray, ...], int]:
+    """Host-side phase for one chunk: planarize (+ pad + wire-encode for
+    plane kernels). Pure NumPy — safe on a prefetch thread. Returns
+    ``(payload_arrays, original_rows)``."""
+    from amcpy_tpu.data.native_io import planarize
+
+    if not wants_planes:
+        return (planarize(frames_slice),), frames_slice.shape[0]
+    from amcpy_tpu.ops.fused import split_planes
+    from amcpy_tpu.ops.wire import encode_planes
+    from amcpy_tpu.parallel.mesh import pad_to_multiple
+
+    ih, qh = split_planes(frames_slice)
+    # pad to the kernel tile multiple on the HOST: device-side padding
+    # inside the fused kernel would concatenate arrays of different
+    # explicit shardings (rejected under explicit-axis meshes)
+    n_data = mesh.shape[mesh.axis_names[0]]
+    ih, orig = pad_to_multiple(ih, 64 * n_data)
+    qh, _ = pad_to_multiple(qh, 64 * n_data)
+    if wire != "f32":
+        return encode_planes(ih, qh, wire), orig
+    return (ih, qh), orig
+
+
+class PreparedBatch:
+    """Host-prepared chunks for :func:`extract_batch` — planarize, pad
+    and wire-encode done ahead of time (build with
+    :func:`prepare_frames`, typically on a prefetch thread so the next
+    batch's host work overlaps the current batch's uploads)."""
+
+    __slots__ = (
+        "b", "frame_size", "wire", "wants_planes", "seq_sharded",
+        "chunks", "prep_s",
+    )
+
+    def __init__(self, b, frame_size, wire, wants_planes, seq_sharded,
+                 chunks, prep_s):
+        self.b = b
+        self.frame_size = frame_size
+        self.wire = wire
+        self.wants_planes = wants_planes
+        self.seq_sharded = seq_sharded
+        #: list of (start_row, payload_arrays, original_rows)
+        self.chunks = chunks
+        self.prep_s = prep_s
+
+
+def prepare_frames(
+    frames: np.ndarray,
+    *,
+    mesh=None,
+    chunk_size: int | None = None,
+    kernel: str = "xla",
+    wire: str = "f32",
+) -> PreparedBatch:
+    """Run :func:`extract_batch`'s host-side phase ahead of time.
+
+    Pure NumPy — call on a prefetch/loader thread and hand the result to
+    ``extract_batch`` in place of ``frames``; the caller must pass the
+    SAME ``mesh``/``kernel`` there (routing is resolved identically
+    here so the prepared payload matches the kernel's input contract).
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    frames = np.asarray(frames)
+    if mesh is None:
+        mesh = make_mesh()
+    if chunk_size is None:
+        chunk_size = _default_chunk_size(mesh, frames.shape[-1])
+    wire = _settle_wire(mesh, kernel, wire, frames.shape[-1])
+    seq_sharded = (
+        len(mesh.axis_names) > 1 and mesh.shape[mesh.axis_names[-1]] > 1
+    )
+    wants_planes = resolve_kernel(kernel) == "fused" and not seq_sharded
+    chunks = [
+        (start, *_prep_chunk(
+            frames[start : start + chunk_size], mesh, wants_planes, wire
+        ))
+        for start in range(0, frames.shape[0], chunk_size)
+    ]
+    chunks = [(s, payload, orig) for s, payload, orig in chunks]
+    return PreparedBatch(
+        frames.shape[0], frames.shape[-1], wire, wants_planes,
+        seq_sharded, chunks, _time.perf_counter() - t0,
+    )
+
+
 def extract_batch(
-    frames: np.ndarray | jax.Array,
+    frames: "np.ndarray | jax.Array | PreparedBatch",
     *,
     mesh=None,
     chunk_size: int | None = None,
@@ -266,6 +409,13 @@ def extract_batch(
     so arbitrarily large datasets stream through HBM. XLA inserts any
     needed collectives from the sharding annotations alone.
 
+    The host path is software-pipelined twice over: a prep thread
+    planarizes/pads/encodes chunk k+1 while chunk k uploads, and chunk
+    k+1 is dispatched before chunk k's result is fetched (JAX dispatch
+    is async). Passing a :class:`PreparedBatch` (from
+    :func:`prepare_frames`, e.g. built on a loader thread) skips the
+    host phase entirely.
+
     ``wire`` — host->device codec (``ops/wire.py``): ``int24`` ships
     3 bytes/sample as block-float integers dequantized on device (25%
     fewer bytes on the transfer-bound path), ``int16`` 2 bytes/sample,
@@ -274,113 +424,103 @@ def extract_batch(
 
     ``timings`` — optional dict, filled with a zero-overhead phase
     breakdown of the host path (VERDICT r3 items 1/7):
-    ``host_prep_s`` (planarize + pad + wire-encode, synchronous host
-    work), ``h2d_s`` (device_put calls — includes wire time if the
-    backend's put blocks), ``wait_s`` (device_get waits: compute + any
-    transfer backlog the pipeline failed to overlap), ``bytes_h2d``
+    ``host_prep_s`` (time BLOCKED on planarize + pad + wire-encode —
+    overlapped prep does not appear here; ``prep_total_s`` carries the
+    full amount), ``h2d_s`` (device_put calls — includes wire time if
+    the backend's put blocks), ``wait_s`` (device_get waits: compute +
+    any transfer backlog the pipeline failed to overlap), ``bytes_h2d``
     (actual bytes shipped, after the codec).
     """
+    import concurrent.futures as cf
     import time as _time
 
-    frames = np.asarray(frames)
-    b = frames.shape[0]
     if mesh is None:
         mesh = make_mesh()
-    if chunk_size is None:
-        n_data = mesh.devices.size // (
-            mesh.shape[mesh.axis_names[-1]]
-            if len(mesh.axis_names) > 1 else 1
-        )
-        if jax.default_backend() == "cpu":
-            # ~2M samples per DEVICE step: when the (chunk, N)-sized
-            # elementwise temporaries fit XLA's alternate-memory (VMEM)
-            # assignment, no intermediate round-trips HBM (bench round 2:
-            # 1024-frame chunks at N=2048 run 7.6-9.8M frames/s vs 3.7M
-            # at 4096); also keeps the CPU-mesh test suite snappy.
-            samples = 1 << 21
-        else:
-            # Accelerators: ~32M samples (256 MB planar) per host slab.
-            # The end-to-end flow is WIRE-bound on tunneled backends
-            # (~11 MB/s single-stream), and put_global splits a slab this
-            # size into ~8 concurrent 32 MB streams (~3x aggregate wire
-            # bandwidth, scripts/host_path_probe.py). The fused kernel is
-            # batch-flat (BENCH r3: 7.6M frames/s at 16384), so the
-            # larger device step costs nothing while transfer dominates.
-            samples = 1 << 25
-        chunk_size = max(256, samples // max(frames.shape[-1], 1) * n_data)
-    out = np.empty((b, NUM_FEATURES), dtype=np.float32)
-    # settle the wire codec BEFORE building the kernel: it only applies
-    # when the fused route will actually be taken (the codec's decode is
-    # fused into the shard_map program, so there is no per-call fallback)
-    from amcpy_tpu.ops.wire import encode_planes, resolve_wire_format
 
-    wire = resolve_wire_format(wire)
-    if wire != "f32":
-        resolved = resolve_kernel(kernel)
-        seq_probe = (
+    t_prep = prep_total = 0.0
+    prep_exec: cf.ThreadPoolExecutor | None = None
+    if isinstance(frames, PreparedBatch):
+        prepared = frames
+        b = prepared.b
+        wire = prepared.wire
+        wants_planes = prepared.wants_planes
+        seq_sharded = prepared.seq_sharded
+        prep_total = prepared.prep_s
+
+        def chunk_stream():
+            yield from prepared.chunks
+    else:
+        frames = np.asarray(frames)
+        b = frames.shape[0]
+        if chunk_size is None:
+            chunk_size = _default_chunk_size(mesh, frames.shape[-1])
+        wire = _settle_wire(mesh, kernel, wire, frames.shape[-1])
+        seq_sharded = (
             len(mesh.axis_names) > 1
             and mesh.shape[mesh.axis_names[-1]] > 1
         )
-        if resolved != "fused" or seq_probe:
-            wire = "f32"
-        else:
-            from amcpy_tpu.ops.fft import best_factorization
+        wants_planes = (
+            resolve_kernel(kernel) == "fused" and not seq_sharded
+        )
+        starts = list(range(0, b, chunk_size))
+        prep_exec = cf.ThreadPoolExecutor(1)
 
-            interpret = jax.default_backend() == "cpu"
-            n = frames.shape[-1]
-            if best_factorization(n) is None or not _fused_compiles(
-                n, interpret
-            ):
-                wire = "f32"
-    kern, seq_sharded, wants_planes = _kernel_fn(
+        def _prep(start):
+            t0 = _time.perf_counter()
+            payload, orig = _prep_chunk(
+                frames[start : start + chunk_size], mesh,
+                wants_planes, wire,
+            )
+            return start, payload, orig, _time.perf_counter() - t0
+
+        def chunk_stream():
+            # prefetch depth 1: chunk k+1 preps on the worker while
+            # chunk k uploads — bounds host residency to two chunks
+            nonlocal t_prep, prep_total
+            fut = prep_exec.submit(_prep, starts[0]) if starts else None
+            for i in range(len(starts)):
+                t0 = _time.perf_counter()
+                start, payload, orig, dt = fut.result()
+                t_prep += _time.perf_counter() - t0  # BLOCKED time only
+                prep_total += dt
+                if i + 1 < len(starts):
+                    fut = prep_exec.submit(_prep, starts[i + 1])
+                yield start, payload, orig
+
+    kern, seq_k, wants_k = _kernel_fn(
         mesh, kernel, normalize_scale, gmax_mode, wire=wire
     )
-    from amcpy_tpu.data.native_io import planarize
-
-    t_prep = t_h2d = t_wait = 0.0
+    assert (seq_k, wants_k) == (seq_sharded, wants_planes), (
+        "prepared batch routing does not match this mesh/kernel"
+    )
+    out = np.empty((b, NUM_FEATURES), dtype=np.float32)
+    t_h2d = t_wait = 0.0
     bytes_h2d = 0
-
-    # Software pipeline: dispatch chunk k+1 before fetching chunk k's
-    # result — JAX dispatch is async, so host-side planarize/device_put of
-    # the next chunk overlaps the device compute of the current one.
     pending: tuple[int, int, jax.Array] | None = None
-    for start in range(0, b, chunk_size):
-        t0 = _time.perf_counter()
-        if wants_planes:
-            from amcpy_tpu.ops.fused import split_planes
-            from amcpy_tpu.parallel.mesh import pad_to_multiple
-
-            ih, qh = split_planes(frames[start : start + chunk_size])
-            # pad to the kernel tile multiple on the HOST: device-side
-            # padding inside the fused kernel would concatenate arrays of
-            # different explicit shardings (rejected under explicit-axis
-            # meshes)
-            n_data = mesh.shape[mesh.axis_names[0]]
-            ih, orig = pad_to_multiple(ih, 64 * n_data)
-            qh, _ = pad_to_multiple(qh, 64 * n_data)
-            if wire != "f32":
-                enc = encode_planes(ih, qh, wire)
-                t1 = _time.perf_counter()
-                arrs = [shard_batch(e, mesh)[0] for e in enc]
+    try:
+        for start, payload, orig in chunk_stream():
+            t1 = _time.perf_counter()
+            if wants_planes:
+                arrs = [shard_batch(e, mesh)[0] for e in payload]
                 t2 = _time.perf_counter()
-                bytes_h2d += sum(e.nbytes for e in enc)
+                bytes_h2d += sum(e.nbytes for e in payload)
                 feats = kern(*arrs)
             else:
-                t1 = _time.perf_counter()
-                i_arr, _ = shard_batch(ih, mesh)
-                q_arr, _ = shard_batch(qh, mesh)
+                arr, orig = shard_batch(
+                    payload[0], mesh, seq_sharded=seq_sharded
+                )
                 t2 = _time.perf_counter()
-                bytes_h2d += ih.nbytes + qh.nbytes
-                feats = kern(i_arr, q_arr)
-        else:
-            chunk = planarize(frames[start : start + chunk_size])
-            t1 = _time.perf_counter()
-            arr, orig = shard_batch(chunk, mesh, seq_sharded=seq_sharded)
-            t2 = _time.perf_counter()
-            bytes_h2d += arr.nbytes
-            feats = kern(arr)
-        t_prep += t1 - t0
-        t_h2d += t2 - t1
+                bytes_h2d += arr.nbytes
+                feats = kern(arr)
+            t_h2d += t2 - t1
+            if pending is not None:
+                p_start, p_orig, p_feats = pending
+                t3 = _time.perf_counter()
+                out[p_start : p_start + p_orig] = np.asarray(
+                    jax.device_get(p_feats)
+                )[:p_orig]
+                t_wait += _time.perf_counter() - t3
+            pending = (start, orig, feats)
         if pending is not None:
             p_start, p_orig, p_feats = pending
             t3 = _time.perf_counter()
@@ -388,16 +528,14 @@ def extract_batch(
                 jax.device_get(p_feats)
             )[:p_orig]
             t_wait += _time.perf_counter() - t3
-        pending = (start, orig, feats)
-    if pending is not None:
-        p_start, p_orig, p_feats = pending
-        t3 = _time.perf_counter()
-        out[p_start : p_start + p_orig] = np.asarray(
-            jax.device_get(p_feats)
-        )[:p_orig]
-        t_wait += _time.perf_counter() - t3
+    finally:
+        if prep_exec is not None:
+            prep_exec.shutdown(wait=True)
     if timings is not None:
         timings["host_prep_s"] = timings.get("host_prep_s", 0.0) + t_prep
+        timings["prep_total_s"] = (
+            timings.get("prep_total_s", 0.0) + prep_total
+        )
         timings["h2d_s"] = timings.get("h2d_s", 0.0) + t_h2d
         timings["wait_s"] = timings.get("wait_s", 0.0) + t_wait
         timings["bytes_h2d"] = timings.get("bytes_h2d", 0) + bytes_h2d
@@ -463,28 +601,31 @@ def run_extraction(
                 print(f"[{mod}] corrupt artifact, recomputing: {exc}")
         todo.append(mod)
 
-    # Pipeline the per-mod `.mat` reads under the device work: a loader
-    # thread prefetches modulation k+1 while k streams to the device and
-    # extracts — the reference instead re-read the ENTIRE dataset file in
-    # every worker process (feature_extraction.py:46-48).
+    # Pipeline the per-mod `.mat` reads AND the host prep (planarize +
+    # pad + wire-encode) under the device work: a loader thread fully
+    # prepares modulation k+1 while k streams to the device and extracts
+    # — the reference instead re-read the ENTIRE dataset file in every
+    # worker process (feature_extraction.py:46-48).
     import concurrent.futures as cf
+
+    def _load_prepared(mod: str):
+        raw = io_mat.load_modulation(cfg, mod)  # (S, F, N)
+        flat = raw.reshape(-1, raw.shape[-1])
+        return raw.shape, prepare_frames(
+            flat, mesh=mesh, kernel=cfg.compute.kernel,
+            wire=cfg.compute.wire_format,
+        )
 
     loader = cf.ThreadPoolExecutor(1)
     try:
-        fut = (
-            loader.submit(io_mat.load_modulation, cfg, todo[0])
-            if todo
-            else None
-        )
+        fut = loader.submit(_load_prepared, todo[0]) if todo else None
         for k, mod in enumerate(todo):
-            raw = fut.result()  # (S, F, N)
+            (n_snr, n_frames, n), prepared = fut.result()
             fut = (
-                loader.submit(io_mat.load_modulation, cfg, todo[k + 1])
+                loader.submit(_load_prepared, todo[k + 1])
                 if k + 1 < len(todo)
                 else None
             )
-            n_snr, n_frames, n = raw.shape
-            flat = raw.reshape(n_snr * n_frames, n)
             prof = (
                 _jax.profiler.trace(profile_dir)
                 if profile_dir
@@ -493,15 +634,14 @@ def run_extraction(
             with prof, stage_timer(logger, "extract", modulation=mod) as rec:
                 tim: dict = {}
                 feats = extract_batch(
-                    flat,
+                    prepared,
                     mesh=mesh,
                     normalize_scale=cfg.compute.normalize_scale,
                     gmax_mode=cfg.compute.gmax_mode,
                     kernel=cfg.compute.kernel,
-                    wire=cfg.compute.wire_format,
                     timings=tim,
                 )
-                rec["frames"] = int(flat.shape[0])
+                rec["frames"] = int(n_snr * n_frames)
                 rec.update(
                     {
                         key: round(v, 4) if isinstance(v, float) else v

@@ -219,8 +219,15 @@ class AMCServer:
         # backlog (a load balancer health-checking during startup sees a
         # slow connect, not ECONNREFUSED), THEN warm the compile cache
         handler = _make_handler(self)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
-        self.httpd.daemon_threads = True
+
+        class _Server(ThreadingHTTPServer):
+            daemon_threads = True
+            # socketserver's default accept backlog of 5 RSTs a burst of
+            # concurrent connects (observed at 32 clients); clients that
+            # don't reuse connections (urllib) connect per request
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), handler)
         if warmup:
             # compile the smallest bucket before serving traffic so the
             # first request doesn't pay the trace+compile (measured ~20 s

@@ -95,7 +95,7 @@ def main(path: str) -> None:
     # --- end-to-end host path section (FULL dataset scale) ---------------
     e2e = d.get("end_to_end")
     e2e_md = ""
-    if e2e:
+    if e2e and "modulations" in e2e:
         e2e_md = f"""
 ## End-to-end host path (`.mat` → device → features, FULL dataset)
 
@@ -173,19 +173,32 @@ actual reference extractor WITH the codec enabled.
         conc = s.get("concurrent_small")
         conc_md = ""
         if conc:
-            lat = conc["latency_ms"]
-            conc_md = (
-                f"\nUnder concurrency ({conc['clients']} clients × "
-                f"{conc['requests_per_client'] if 'requests_per_client' in conc else conc['requests'] // conc['clients']} requests of "
-                f"{conc['small_batch']} frames), the batcher coalesces "
-                f"{conc['requests']} requests into "
-                f"{conc['device_dispatches']} device dispatches "
-                f"({conc['coalescing_factor']}× coalescing): "
-                f"**{conc['frames_per_s']:,.0f} frames/s aggregate** "
-                f"({conc['vs_sequential_large_batch']}× the sequential "
-                f"large-batch rate), latency p50/p95/p99 = "
-                f"{lat['p50']}/{lat['p95']}/{lat['p99']} ms."
+            runs = conc if isinstance(conc, list) else [conc]
+            lines = [
+                "",
+                "Concurrent small requests (closed-loop clients of "
+                f"{runs[0]['small_batch']} frames each; the batcher "
+                "coalesces the backlog into one bucketed dispatch):",
+                "",
+                "| clients | frames/s | coalescing | p50 / p95 / p99 ms"
+                " | vs sequential large-batch |",
+                "|---|---|---|---|---|",
+            ]
+            for r in runs:
+                lat = r["latency_ms"]
+                lines.append(
+                    f"| {r['clients']} | {r['frames_per_s']:,.0f} | "
+                    f"{r['coalescing_factor']}× "
+                    f"({r['requests']} req → {r['device_dispatches']} "
+                    f"dispatches) | {lat['p50']} / {lat['p95']} / "
+                    f"{lat['p99']} | {r['vs_sequential_large_batch']}× |"
+                )
+            lines.append(
+                "\nThroughput scales with offered load (deeper backlog →"
+                " larger coalesced batches); per-dispatch wire latency on"
+                " the tunneled backend is the floor."
             )
+            conc_md = "\n".join(lines)
         serve_md = f"""
 ## Serving (`amc serve`, from `metrics/serve_bench.json`)
 

@@ -32,7 +32,8 @@ def main() -> None:
     ap.add_argument("--model-id", default=None)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--clients", default="8,16",
+                    help="comma list of concurrent client counts to sweep")
     ap.add_argument("--small-batch", type=int, default=64)
     ap.add_argument("--requests-per-client", type=int, default=25)
     args = ap.parse_args()
@@ -111,6 +112,10 @@ def main() -> None:
         )
 
         # --- concurrent small requests: the coalescing case ------------
+        # (swept over offered load: with closed-loop clients the device
+        # backlog — and so the coalesced batch — scales with the client
+        # count, which is the real lever against per-dispatch wire
+        # latency on this tunneled backend)
         # N clients each stream small POSTs; the server's batcher should
         # merge the backlog into few large device dispatches, keeping
         # aggregate throughput near the sequential large-batch rate
@@ -141,56 +146,59 @@ def main() -> None:
                 assert len(r["labels"]) == sb
             return lats
 
-        h0 = json.loads(
-            urllib.request.urlopen(
-                f"http://{host}:{port}/healthz", timeout=30
-            ).read()
-        )
-        t0 = time.perf_counter()
-        with cf.ThreadPoolExecutor(args.clients) as ex:
-            lat = np.concatenate(
-                list(ex.map(client, range(args.clients)))
+        results["concurrent_small"] = []
+        for n_clients in [int(c) for c in str(args.clients).split(",")]:
+            h0 = json.loads(
+                urllib.request.urlopen(
+                    f"http://{host}:{port}/healthz", timeout=30
+                ).read()
             )
-        wall = time.perf_counter() - t0
-        h1 = json.loads(
-            urllib.request.urlopen(
-                f"http://{host}:{port}/healthz", timeout=30
-            ).read()
-        )
-        n_req = args.clients * args.requests_per_client
-        total_frames = n_req * sb
-        fps = total_frames / wall
-        dispatches = (
-            h1["batcher"]["dispatches"] - h0["batcher"]["dispatches"]
-        )
-        results["concurrent_small"] = {
-            "clients": args.clients,
-            "small_batch": sb,
-            "requests": n_req,
-            "wall_s": round(wall, 3),
-            "frames_per_s": round(fps, 1),
-            "latency_ms": {
-                "p50": round(float(np.percentile(lat, 50)) * 1e3, 1),
-                "p95": round(float(np.percentile(lat, 95)) * 1e3, 1),
-                "p99": round(float(np.percentile(lat, 99)) * 1e3, 1),
-            },
-            "device_dispatches": int(dispatches),
-            "coalescing_factor": round(n_req / max(dispatches, 1), 2),
-            "vs_sequential_large_batch": round(
-                fps / (args.batch / http_s), 3
-            ),
-        }
-        print(
-            f"[serve-bench] concurrent: {args.clients} clients x "
-            f"{args.requests_per_client} req of {sb} frames -> "
-            f"{fps:,.0f} frames/s, p50/p95/p99 = "
-            f"{results['concurrent_small']['latency_ms']['p50']}/"
-            f"{results['concurrent_small']['latency_ms']['p95']}/"
-            f"{results['concurrent_small']['latency_ms']['p99']} ms, "
-            f"{dispatches} dispatches for {n_req} requests "
-            f"(coalescing {results['concurrent_small']['coalescing_factor']}x)",
-            flush=True,
-        )
+            t0 = time.perf_counter()
+            with cf.ThreadPoolExecutor(n_clients) as ex:
+                lat = np.concatenate(
+                    list(ex.map(client, range(n_clients)))
+                )
+            wall = time.perf_counter() - t0
+            h1 = json.loads(
+                urllib.request.urlopen(
+                    f"http://{host}:{port}/healthz", timeout=30
+                ).read()
+            )
+            n_req = n_clients * args.requests_per_client
+            total_frames = n_req * sb
+            fps = total_frames / wall
+            dispatches = (
+                h1["batcher"]["dispatches"] - h0["batcher"]["dispatches"]
+            )
+            rec = {
+                "clients": n_clients,
+                "small_batch": sb,
+                "requests": n_req,
+                "wall_s": round(wall, 3),
+                "frames_per_s": round(fps, 1),
+                "latency_ms": {
+                    "p50": round(float(np.percentile(lat, 50)) * 1e3, 1),
+                    "p95": round(float(np.percentile(lat, 95)) * 1e3, 1),
+                    "p99": round(float(np.percentile(lat, 99)) * 1e3, 1),
+                },
+                "device_dispatches": int(dispatches),
+                "coalescing_factor": round(n_req / max(dispatches, 1), 2),
+                "vs_sequential_large_batch": round(
+                    fps / (args.batch / http_s), 3
+                ),
+            }
+            results["concurrent_small"].append(rec)
+            print(
+                f"[serve-bench] concurrent: {n_clients} clients x "
+                f"{args.requests_per_client} req of {sb} frames -> "
+                f"{fps:,.0f} frames/s, p50/p95/p99 = "
+                f"{rec['latency_ms']['p50']}/"
+                f"{rec['latency_ms']['p95']}/"
+                f"{rec['latency_ms']['p99']} ms, "
+                f"{dispatches} dispatches for {n_req} requests "
+                f"(coalescing {rec['coalescing_factor']}x)",
+                flush=True,
+            )
     finally:
         srv.shutdown()
 

@@ -237,3 +237,32 @@ def test_extract_batch_timings_breakdown():
         assert key in tim and tim[key] >= 0
     # planar f32 (with data-axis padding) crossed the wire
     assert tim["bytes_h2d"] >= 32 * 2 * 128 * 4
+
+
+def test_prepare_frames_matches_direct_path(tiny_cfg):
+    """extract_batch(PreparedBatch) — the loader-thread prefetch contract
+    — must equal extract_batch(frames) bit-for-bit for both the packed
+    (xla) and plane (fused/interpret) routes, including the wire codec."""
+    from amcpy_tpu.extraction import prepare_frames
+
+    mesh = make_mesh(tiny_cfg)
+    rng = np.random.default_rng(11)
+    frames = (
+        rng.standard_normal((52, 256)) + 1j * rng.standard_normal((52, 256))
+    ).astype(np.complex64)
+
+    for kernel, wire in (("xla", "f32"), ("fused", "f32"),
+                         ("fused", "int24")):
+        direct = extract_batch(
+            frames, mesh=mesh, kernel=kernel, wire=wire
+        )
+        prepared = prepare_frames(
+            frames, mesh=mesh, kernel=kernel, wire=wire
+        )
+        tim: dict = {}
+        via_prep = extract_batch(
+            prepared, mesh=mesh, kernel=kernel, timings=tim
+        )
+        np.testing.assert_array_equal(direct, via_prep)
+        assert tim["wire"] == (wire if kernel == "fused" else "f32")
+        assert tim["host_prep_s"] <= tim["prep_total_s"] + 1e-9
