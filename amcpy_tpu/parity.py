@@ -340,7 +340,10 @@ def run_parity(
             },
         }
         for k, v in mod_tim.items():
-            tim[k] = tim.get(k, 0.0 if isinstance(v, float) else 0) + v
+            if isinstance(v, (int, float)):
+                tim[k] = tim.get(k, 0.0 if isinstance(v, float) else 0) + v
+            else:  # e.g. the wire-format tag
+                tim[k] = v
 
         t = time.perf_counter()
         ref = reference_features_batch(flat, ref_root, processes=processes)

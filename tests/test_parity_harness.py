@@ -100,3 +100,33 @@ def test_paired_accuracy_stats_flags_systematic_drift():
     one = paired_accuracy_stats(spiked + noise, base)
     assert not one["budget"]["pass"], one
     assert one["max_abs_delta"] > 0.05
+
+
+def test_run_parity_smoke(tmp_path):
+    """End-to-end run_parity on a tiny dataset (no training arm): the
+    report must carry the phase split incl. the wire tag and a
+    pipeline rate — regression for the r5 wire-tag accumulation
+    TypeError, and proof the harness actually executes the reference
+    extractor from its checkout."""
+    import pytest
+
+    from amcpy_tpu.config import Config
+    from amcpy_tpu.data import synth
+    from amcpy_tpu.parity import run_parity
+
+    if not __import__("pathlib").Path(
+        "/root/reference/src/amcpy/features.py"
+    ).exists():
+        pytest.skip("reference checkout not available")
+
+    cfg = Config().replace(
+        paths={"root": str(tmp_path)},
+        signals={"frame_size": 128, "num_frames": 3},
+    )
+    synth.write_dataset(cfg, seed=4)
+    report = run_parity(cfg, train_models=False, processes=1)
+    assert report["frames_total"] == 6 * 16 * 3
+    assert report["frames_outside_tolerance"] == 0
+    assert report["pipeline_frames_per_s"] > 0
+    assert "BPSK" in report["wall_s"]["per_modulation"]
+    assert (tmp_path / "metrics" / "parity.json").exists()
