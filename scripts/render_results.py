@@ -151,7 +151,7 @@ kernel numbers above.
 
 Block-floating-point wire formats dequantized on device
 (`ops/wire.py`), gated against the float64 oracle on the full real
-dataset ({w['take_per_snr']} frames/SNR/mod — `scripts/wire_gate.json`
+dataset ({w['take_per_snr']} frames/SNR/mod — `scripts/wire_gate.py`
 → `metrics/wire_gate.json`; gate: ≤ {w['budget_frac_gate']} of the
 reference-parity tolerance budget):
 
@@ -305,6 +305,13 @@ extractor executed from its checkout, int24 wire codec ACTIVE:
   result waits {w['pipeline_wait_s']} s against {w['pipeline_h2d_s']} s
   of H2D — round 4's 107 s wait anomaly (one-time backend setup booked
   as waits) is eliminated (warmup {w['warmup_s']} s paid off the clock).
+* Reconciliation with the bench `end_to_end` record (same flow, same
+  96k scale): BOTH runs now attribute ~the entire wall to H2D with
+  waits < 3 s; the rate difference is the tunnel's wire-bandwidth
+  episode alone ({w['pipeline_bytes_h2d'] / 1e9:.2f} GB at
+  {w['pipeline_bytes_h2d'] / 1e6 / max(w['pipeline_h2d_s'], 1e-9):,.0f}
+  MB/s here vs ~38 MB/s in the bench run — the wire varies ~3× between
+  episodes; round 4's runs instead disagreed on WHERE the time went).
 * Paired-seed accuracy budget **{'PASS' if a.get('budget', {}).get('pass') else 'FAIL'}**:
   mean |Δ| {a.get('mean_abs_delta', 0) * 100:.2f} pp, max
   {a.get('max_abs_delta', 0) * 100:.2f} pp over all (mod, SNR) cells.
