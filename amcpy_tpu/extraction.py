@@ -383,7 +383,6 @@ def prepare_frames(
         ))
         for start in range(0, frames.shape[0], chunk_size)
     ]
-    chunks = [(s, payload, orig) for s, payload, orig in chunks]
     return PreparedBatch(
         frames.shape[0], frames.shape[-1], wire, wants_planes,
         seq_sharded, chunks, _time.perf_counter() - t0,

@@ -286,13 +286,19 @@ def run_parity(
     import jax
     import jax.numpy as jnp
 
+    from amcpy_tpu.extraction import _default_chunk_size
+
     t = time.perf_counter()
     np.asarray(jax.jit(lambda: jnp.ones((4,)))())
-    rng_w = np.random.default_rng(0)
-    warm = (
-        rng_w.standard_normal((256, s.frame_size), dtype=np.float32)
-        + 1j * rng_w.standard_normal((256, s.frame_size), dtype=np.float32)
-    ).astype(np.complex64)
+    # warm at the REAL chunk shape: jit programs are shape-specialized,
+    # so a small warm batch would leave the first timed modulation
+    # paying trace+compile for the actual ~chunk-sized program
+    # (review r5); zeros keep the warm batch cheap to build
+    n_warm = min(
+        s.num_snr * take, _default_chunk_size(mesh, s.frame_size)
+    )
+    warm = np.zeros((n_warm, s.frame_size), np.complex64)
+    warm[:, 0] = 1.0  # non-degenerate frames
     extract_batch(
         warm, mesh=mesh,
         normalize_scale=cfg.compute.normalize_scale,

@@ -100,6 +100,7 @@ class _Batcher:
         self.window_s = window_s
         self.max_frames = max_frames
         self.q: queue.Queue[Any] = queue.Queue()
+        self._stopped = False
         self.dispatches = 0
         self.coalesced_requests = 0
         self.max_coalesced = 1
@@ -111,6 +112,8 @@ class _Batcher:
     def infer(self, frames: np.ndarray) -> np.ndarray:
         """Submit planar ``(B, 2, N)`` frames; blocks until the logits for
         exactly these frames are ready."""
+        if self._stopped:
+            raise RuntimeError("server shutting down")
         item = _WorkItem(frames)
         self.q.put(item)
         item.done.wait()
@@ -120,8 +123,22 @@ class _Batcher:
         return item.logits
 
     def stop(self) -> None:
+        self._stopped = True
         self.q.put(_STOP)
         self._thread.join(timeout=5)
+        # fail anything that slipped in after the sentinel: in-flight
+        # handler threads may still call infer() while the HTTP server
+        # is winding down, and an unfinished item would block its
+        # handler on done.wait() forever (review r5)
+        while True:
+            try:
+                item = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if item is _STOP:
+                continue
+            item.error = RuntimeError("server shutting down")
+            item.done.set()
 
     # ------------------------------------------------------------------
 
@@ -168,26 +185,35 @@ class _Batcher:
             batch = self._collect()
             if batch is None:
                 return
-            try:
-                if len(batch) == 1:
-                    allf = batch[0].frames
-                else:
-                    allf = np.concatenate([b.frames for b in batch])
-                logits = np.asarray(self.pipe.logits(allf))
-                off = 0
-                for b in batch:
-                    k = b.frames.shape[0]
-                    b.logits = logits[off : off + k]
-                    off += k
-            except BaseException as exc:  # propagate to every waiter
-                for b in batch:
-                    b.error = exc
-            finally:
-                self.dispatches += 1
-                self.coalesced_requests += len(batch)
-                self.max_coalesced = max(self.max_coalesced, len(batch))
-                for b in batch:
-                    b.done.set()
+            # group by per-frame shape: a frame_size-override request
+            # (allow_any_frame_size=1) must not poison a co-batched
+            # standard request with a ragged concatenate (review r5)
+            groups: dict[tuple, list[_WorkItem]] = {}
+            for b in batch:
+                groups.setdefault(tuple(b.frames.shape[1:]), []).append(b)
+            for group in groups.values():
+                try:
+                    if len(group) == 1:
+                        allf = group[0].frames
+                    else:
+                        allf = np.concatenate([b.frames for b in group])
+                    logits = np.asarray(self.pipe.logits(allf))
+                    off = 0
+                    for b in group:
+                        k = b.frames.shape[0]
+                        b.logits = logits[off : off + k]
+                        off += k
+                except BaseException as exc:  # propagate to every waiter
+                    for b in group:
+                        b.error = exc
+                finally:
+                    self.dispatches += 1
+                    self.coalesced_requests += len(group)
+                    self.max_coalesced = max(
+                        self.max_coalesced, len(group)
+                    )
+                    for b in group:
+                        b.done.set()
 
 
 class AMCServer:
@@ -203,15 +229,23 @@ class AMCServer:
         warmup: bool = True,
         batch_window_ms: float = 2.0,
         max_concurrent_reads: int = 4,
+        max_resident_bytes: int = 1 << 30,
     ):
         self.cfg = cfg
         self.pipe = AMCPipeline.from_checkpoint(cfg, model_id)
         self.mods = list(cfg.signals.modulations_with_noise)
         self.frame_size = cfg.signals.frame_size
         self.max_body = max_body
-        #: bounds simultaneous request-body buffers: ThreadingHTTPServer
-        #: threads queue here instead of each holding max_body bytes
+        #: bounds simultaneous request-body READS (disk/net IO fan-in)
         self._read_sem = threading.Semaphore(max(1, max_concurrent_reads))
+        #: bounds TOTAL resident request-body bytes across all in-flight
+        #: requests (read + queued behind the batcher): a burst of large
+        #: POSTs gets 503 backpressure instead of exhausting host memory
+        #: — the read semaphore alone releases too early to bound
+        #: residency (review r5 / ADVICE r4)
+        self.max_resident_bytes = max_resident_bytes
+        self._resident_bytes = 0
+        self._resident_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self._requests = 0
         self._frames = 0
@@ -285,6 +319,17 @@ class AMCServer:
             probs = z / z.sum(-1, keepdims=True)
             out["probs"] = np.round(probs, 6).tolist()
         return out
+
+    def _reserve(self, nbytes: int) -> bool:
+        with self._resident_lock:
+            if self._resident_bytes + nbytes > self.max_resident_bytes:
+                return False
+            self._resident_bytes += nbytes
+            return True
+
+    def _release(self, nbytes: int) -> None:
+        with self._resident_lock:
+            self._resident_bytes -= nbytes
 
     def health(self) -> dict[str, Any]:
         import jax
@@ -373,13 +418,24 @@ def _make_handler(server: AMCServer):
                         "override."
                     )
                 want_probs = q.get("probs", ["0"])[0] in ("1", "true")
-                with server._read_sem:
-                    body = self.rfile.read(length)
-                body_read = True
-                self._reply(
-                    200,
-                    server.classify(body, fmt, frame_size, want_probs),
-                )
+                if not server._reserve(length):
+                    self.close_connection = True  # body not drained
+                    self._reply(
+                        503,
+                        {"error": "overloaded: resident request bytes "
+                                  "budget exhausted, retry later"},
+                    )
+                    return
+                try:
+                    with server._read_sem:
+                        body = self.rfile.read(length)
+                    body_read = True
+                    self._reply(
+                        200,
+                        server.classify(body, fmt, frame_size, want_probs),
+                    )
+                finally:
+                    server._release(length)
             except ValueError as exc:
                 if not body_read:
                     self.close_connection = True

@@ -233,7 +233,9 @@ def measure_tpu() -> dict:
         b: jax.device_put(jnp.stack(planes[b], axis=1), dev) for b in batches
     }
 
-    on_tpu = "tpu" in dev.platform.lower() or "TPU" in str(dev.device_kind)
+    from amcpy_tpu.extraction import backend_is_tpu
+
+    on_tpu = backend_is_tpu()
     kernels = {}
 
     def bench(label, kern, batch, args):
@@ -551,8 +553,9 @@ def measure_training() -> dict | None:
 
     # raw-IQ CNN family: steady train-step rate (TPU-gated; conv training
     # at frame length 2048 is not a CPU smoke workload)
-    dev = jax.devices()[0]
-    if "tpu" in dev.platform.lower() or "tpu" in str(dev.device_kind).lower():
+    from amcpy_tpu.extraction import backend_is_tpu
+
+    if backend_is_tpu():
         try:
             from amcpy_tpu.models.cnn import IQConvNet
 
@@ -646,12 +649,21 @@ def measure_end_to_end() -> dict | None:
         del mat
         mesh = make_mesh(cfg)
 
-        # warmup: tunnel reverse channel + kernel compile, off the clock
-        warm = (
-            rng.standard_normal((256, s.frame_size), dtype=np.float32)
-            + 1j * rng.standard_normal((256, s.frame_size), dtype=np.float32)
-        ).astype(np.complex64)
-        extract_batch(warm, mesh=mesh, kernel=cfg.compute.kernel)
+        # warmup at the REAL chunk shape: tunnel reverse channel +
+        # the chunk-sized program's trace/compile, off the clock (a
+        # small warm batch compiles a different program — review r5)
+        from amcpy_tpu.extraction import _default_chunk_size
+
+        n_warm = min(
+            s.num_snr * s.num_frames,
+            _default_chunk_size(mesh, s.frame_size),
+        )
+        warm = np.zeros((n_warm, s.frame_size), np.complex64)
+        warm[:, 0] = 1.0
+        extract_batch(
+            warm, mesh=mesh, kernel=cfg.compute.kernel,
+            wire=cfg.compute.wire_format,
+        )
 
         logger = MetricsLogger(cfg.paths.metrics / "run.jsonl")
         t0 = time.perf_counter()
@@ -660,8 +672,8 @@ def measure_end_to_end() -> dict | None:
         assert sum(v.shape[0] * v.shape[1] for v in results.values()) == total
 
         # phase split from the structured stage records
-        tim = {"host_prep_s": 0.0, "h2d_s": 0.0, "wait_s": 0.0,
-               "bytes_h2d": 0}
+        tim = {"host_prep_s": 0.0, "prep_total_s": 0.0, "h2d_s": 0.0,
+               "wait_s": 0.0, "bytes_h2d": 0}
         with open(cfg.paths.metrics / "run.jsonl") as f:
             for line in f:
                 rec = _json.loads(line)
@@ -676,6 +688,7 @@ def measure_end_to_end() -> dict | None:
         "wall_s": round(wall, 2),
         "frames_per_s": round(fps, 1),
         "host_prep_s": round(tim["host_prep_s"], 2),
+        "prep_total_s": round(tim["prep_total_s"], 2),
         "h2d_s": round(tim["h2d_s"], 2),
         "wait_s": round(tim["wait_s"], 2),
         "bytes_h2d": int(tim["bytes_h2d"]),

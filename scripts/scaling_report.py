@@ -26,6 +26,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import re
 import os
 import sys
 
@@ -60,7 +61,10 @@ def main() -> None:
         import json as _json
         from pathlib import Path as _Path
 
-        cands = sorted(glob.glob("BENCH_local_r*.json"))
+        cands = sorted(
+            glob.glob("BENCH_local_r*.json"),
+            key=lambda s: int(re.sub(r"\D", "", s) or 0),
+        )
         if not cands:
             raise SystemExit(
                 "no BENCH_local_r*.json found - pass --chip-frames-per-s"

@@ -384,3 +384,107 @@ def test_http_server_rejects_mismatched_frame_size(trained_project):
         assert len(out["labels"]) == 1
     finally:
         srv.shutdown()
+
+
+def test_batcher_groups_mixed_frame_shapes():
+    """Requests with different frame sizes coalesced into one batch must
+    dispatch as separate shape groups — a ragged concatenate would fail
+    every co-batched request (review r5)."""
+    import threading
+    import time
+
+    from amcpy_tpu.server import _Batcher
+
+    release = threading.Event()
+    calls = []
+
+    class SlowPipe:
+        def logits(self, frames):
+            calls.append(frames.shape)
+            if len(calls) == 1:
+                release.wait(timeout=30)
+            return np.repeat(frames[:, 0, :1], 6, axis=1)
+
+    b = _Batcher(SlowPipe(), window_s=0.05)
+    try:
+        outs = {}
+
+        def go(name, n_frames, width):
+            outs[name] = b.infer(
+                np.full((n_frames, 2, width), 1.0, np.float32)
+            )
+
+        t0 = threading.Thread(target=go, args=("hold", 1, 16))
+        t0.start()
+        time.sleep(0.3)  # first dispatch held open
+        ts = [
+            threading.Thread(target=go, args=("a", 2, 16)),
+            threading.Thread(target=go, args=("b", 3, 32)),  # other shape
+        ]
+        for t in ts:
+            t.start()
+        time.sleep(0.3)  # both queued behind the held dispatch
+        release.set()
+        t0.join(timeout=30)
+        for t in ts:
+            t.join(timeout=30)
+        assert outs["a"].shape == (2, 6)
+        assert outs["b"].shape == (3, 6)
+        # the mixed backlog dispatched as two shape groups
+        assert (2, 2, 16) in calls and (3, 2, 32) in calls
+    finally:
+        b.stop()
+
+
+def test_batcher_stop_fails_late_items():
+    """Items enqueued around shutdown must error out, not hang their
+    handler threads forever (review r5)."""
+    from amcpy_tpu.server import _Batcher, _WorkItem
+
+    class Pipe:
+        def logits(self, frames):
+            return np.zeros((frames.shape[0], 6), np.float32)
+
+    b = _Batcher(Pipe(), window_s=0.0)
+    late = _WorkItem(np.zeros((1, 2, 8), np.float32))
+    b.q.put(late)  # enqueue directly, bypassing infer's stopped check
+    b.stop()
+    assert late.done.wait(timeout=10)
+    assert late.error is not None or late.logits is not None
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        b.infer(np.zeros((1, 2, 8), np.float32))
+
+
+def test_http_server_backpressure_503(trained_project):
+    """When the resident-bytes budget is exhausted, new POSTs get 503
+    (connection closed) instead of buffering unboundedly."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from amcpy_tpu.server import AMCServer
+
+    cfg, model_id = trained_project
+    srv = AMCServer(
+        cfg, model_id, host="127.0.0.1", port=0,
+        max_resident_bytes=1024,  # tiny budget
+    )
+    host, port = srv.address
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = np.zeros(2 * 256, np.complex64)  # 4 KB > 1 KB budget
+        body = (body + 1).astype(np.complex64).tobytes()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/classify", data=body, method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert "overloaded" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()

@@ -20,9 +20,10 @@ import jax
 from ..oracle import features_batch, term_scales
 from ..test_features import GOLDEN, _golden_signal
 
+from amcpy_tpu.extraction import backend_is_tpu
+
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() not in ("tpu", "axon")
-    and "tpu" not in str(jax.devices()[0]).lower(),
+    not backend_is_tpu(),
     reason="compiled-Mosaic tests need a real TPU backend",
 )
 

@@ -13,9 +13,10 @@ import pytest
 
 import jax
 
+from amcpy_tpu.extraction import backend_is_tpu
+
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() not in ("tpu", "axon")
-    and "tpu" not in str(jax.devices()[0]).lower(),
+    not backend_is_tpu(),
     reason="compiled serving tests need a real TPU backend",
 )
 

@@ -17,9 +17,10 @@ import jax
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from amcpy_tpu.extraction import backend_is_tpu
+
 pytestmark = pytest.mark.skipif(
-    jax.default_backend() not in ("tpu", "axon")
-    and "tpu" not in str(jax.devices()[0]).lower(),
+    not backend_is_tpu(),
     reason="hardware training tests need a real TPU backend",
 )
 
