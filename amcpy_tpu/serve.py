@@ -102,6 +102,41 @@ def _pipeline_logits(
     )
 
 
+@partial(jax.jit, static_argnames=("model", "wire", "interpret"))
+def _pipeline_logits_wire(
+    model: AMCClassifier,
+    hi_i: jax.Array,
+    lo_i: jax.Array,
+    hi_q: jax.Array,
+    lo_q: jax.Array,
+    s: jax.Array,
+    params,
+    batch_stats,
+    cols: jax.Array,
+    mean: jax.Array,
+    std: jax.Array,
+    *,
+    wire: str = "int24",
+    interpret: bool = False,
+) -> jax.Array:
+    """Wire-codec serving program: block-float integer planes arrive on
+    device, dequantize in-program (``ops/wire.py``), then run the same
+    fused extract -> standardize -> classify chain. Used for large
+    feature-path request batches on transfer-bound backends — 25% fewer
+    bytes per request than f32 planes (gating evidence:
+    ``metrics/wire_gate.json`` + PARITY_r5)."""
+    from amcpy_tpu.ops.fused import extract_features_fused
+    from amcpy_tpu.ops.wire import decode_plane
+
+    i = decode_plane(hi_i, lo_i, s, fmt=wire)
+    q = decode_plane(hi_q, lo_q, s, fmt=wire)
+    feats = extract_features_fused(i, q, interpret=interpret)
+    x = (feats[:, cols] - mean) / std
+    return model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False
+    )
+
+
 class AMCPipeline:
     """Fused extract+standardize+classify inference pipeline."""
 
@@ -136,6 +171,15 @@ class AMCPipeline:
         #: chunk dispatch); set False to pin inference to one device
         self.multi_device = True
         self._dev_consts: dict = {}
+        from amcpy_tpu.ops.wire import resolve_wire_format
+
+        #: wire codec for LARGE feature-path request batches (>=
+        #: WIRE_MIN_BATCH frames): same parity-gated int24 block-float
+        #: as extraction; small requests keep the f32 fast path (encode
+        #: overhead exceeds the wire saving below the threshold)
+        self._wire = resolve_wire_format(cfg.compute.wire_format)
+        if self._wire != "int24":
+            self._wire = "f32"  # serving implements the gated format only
 
     @classmethod
     def from_checkpoint(
@@ -149,7 +193,10 @@ class AMCPipeline:
 
     # ------------------------------------------------------------------
 
-    def _to_device_planar(self, frames: np.ndarray) -> jax.Array:
+    def _to_planar_host(self, frames: np.ndarray) -> np.ndarray:
+        """Normalize input to host-side ``(B, 2, N)`` float32 planar —
+        device placement happens in ``_dispatch`` (which may wire-encode
+        first)."""
         frames = np.asarray(frames)
         if np.iscomplexobj(frames):
             from amcpy_tpu.data.native_io import planarize
@@ -160,33 +207,71 @@ class AMCPipeline:
                 f"expected (B, N) complex or (B, 2, N) planar, got "
                 f"{frames.shape}"
             )
-        return jnp.asarray(frames, jnp.float32)
+        return np.asarray(frames, np.float32)
 
     #: smallest compiled batch bucket; arbitrary sizes pad up to the next
     #: power of two, so N distinct request sizes trigger at most
     #: log2(max/min) compiled programs instead of N retraces
     MIN_BUCKET = 64
+    #: below this many frames the f32 fast path wins: the host encode +
+    #: the extra device arrays cost more than the 25% wire saving
+    WIRE_MIN_BATCH = 512
 
-    def _dispatch(self, iq: jax.Array, consts=None) -> jax.Array:
-        """Bucket-pad + run the fused program on ``iq``'s device."""
+    def _wire_eligible(self, b: int, n: int) -> bool:
+        if self._wire != "int24" or b < self.WIRE_MIN_BATCH:
+            return False
+        from amcpy_tpu.models.cnn import IQConvNet
+
+        if isinstance(self.model, IQConvNet):
+            return False  # raw-IQ family consumes f32 planes directly
+        if self._kernel != "fused":
+            return False
+        from amcpy_tpu.ops.fft import best_factorization
+
+        return best_factorization(n) is not None
+
+    def _dispatch(self, iq: np.ndarray, consts=None, device=None) -> jax.Array:
+        """Bucket-pad a HOST batch, (optionally) wire-encode, place on
+        ``device`` (default device when None) and run the fused program."""
         b = iq.shape[0]
         bucket = max(self.MIN_BUCKET, 1 << max(b - 1, 0).bit_length())
+        iq = np.asarray(iq)
         if bucket != b:
             # repeat the last frame: numerically benign padding (zero
             # frames hit 0/0 in the normalized-amplitude stream)
-            iq = jnp.concatenate(
-                [iq, jnp.repeat(iq[-1:], bucket - b, axis=0)]
+            iq = np.concatenate(
+                [iq, np.repeat(iq[-1:], bucket - b, axis=0)]
             )
         params, batch_stats, cols, mean, std = consts or (
             self.params, self.batch_stats, self._cols, self._mean,
             self._std,
         )
-        out = _pipeline_logits(
-            self.model, iq, params, batch_stats, cols, mean, std,
-            kernel=self._kernel,
-            gmax_mode=self.cfg.compute.gmax_mode,
-            interpret=self._interpret,
-        )
+
+        def put(x):
+            return jax.device_put(x, device) if device is not None else (
+                jnp.asarray(x)
+            )
+
+        if self._wire_eligible(bucket, iq.shape[-1]):
+            from amcpy_tpu.ops.wire import encode_planes
+
+            enc = encode_planes(
+                np.ascontiguousarray(iq[:, 0, :]),
+                np.ascontiguousarray(iq[:, 1, :]),
+                "int24",
+            )
+            out = _pipeline_logits_wire(
+                self.model, *(put(e) for e in enc),
+                params, batch_stats, cols, mean, std,
+                wire="int24", interpret=self._interpret,
+            )
+        else:
+            out = _pipeline_logits(
+                self.model, put(iq), params, batch_stats, cols, mean, std,
+                kernel=self._kernel,
+                gmax_mode=self.cfg.compute.gmax_mode,
+                interpret=self._interpret,
+            )
         return out[:b]
 
     def _consts_on(self, dev):
@@ -202,7 +287,7 @@ class AMCPipeline:
         return self._dev_consts[dev]
 
     def logits(self, frames: np.ndarray) -> "jax.Array | np.ndarray":
-        iq = self._to_device_planar(frames)
+        iq = self._to_planar_host(frames)
         b = iq.shape[0]
         devs = jax.local_devices()
         if (
@@ -225,7 +310,7 @@ class AMCPipeline:
             bounds = np.linspace(0, b, len(devs) + 1).astype(int)
             outs = [
                 self._dispatch(
-                    jax.device_put(iq[lo:hi], dev), self._consts_on(dev)
+                    iq[lo:hi], self._consts_on(dev), device=dev
                 )
                 for dev, lo, hi in zip(devs, bounds[:-1], bounds[1:])
                 if hi > lo

@@ -488,3 +488,33 @@ def test_http_server_backpressure_503(trained_project):
             assert "overloaded" in json.loads(e.read())["error"]
     finally:
         srv.shutdown()
+
+
+def test_pipeline_wire_path_matches_f32(trained_project):
+    """Large feature-path request batches ride the int24 wire program
+    (_pipeline_logits_wire); predictions must match the f32 pipeline
+    within the codec's parity budget — here asserted as identical labels
+    and close logits on the same frames."""
+    cfg, model_id = trained_project
+    wire_cfg = cfg.replace(
+        compute={"kernel": "fused", "wire_format": "int24"}
+    )
+    f32_cfg = cfg.replace(
+        compute={"kernel": "fused", "wire_format": "f32"}
+    )
+    pipe_w = AMCPipeline.from_checkpoint(wire_cfg, model_id)
+    pipe_f = AMCPipeline.from_checkpoint(f32_cfg, model_id)
+    pipe_w.multi_device = pipe_f.multi_device = False
+    assert pipe_w._wire == "int24" and pipe_f._wire == "f32"
+
+    raw = io_mat.load_modulation(cfg, "QPSK")  # (16, 30, 256)
+    frames = np.tile(raw.reshape(-1, 256), (2, 1))[:512]  # >= WIRE_MIN_BATCH
+    assert pipe_w._wire_eligible(512, 256)
+    lw = np.asarray(pipe_w.logits(frames))
+    lf = np.asarray(pipe_f.logits(frames))
+    assert lw.shape == lf.shape == (512, 6)
+    # codec error is ~1e-6 of the feature scale; logits move accordingly
+    np.testing.assert_allclose(lw, lf, rtol=1e-3, atol=1e-3)
+    assert (lw.argmax(-1) == lf.argmax(-1)).mean() > 0.99
+    # small batches stay on the f32 fast path even with wire configured
+    assert not pipe_w._wire_eligible(64, 256)
