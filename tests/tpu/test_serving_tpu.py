@@ -82,3 +82,28 @@ def test_compiled_serving_cnn_trunk(tpu_project):
     np.testing.assert_allclose(via_pipeline, direct, atol=1e-5)
     flax = np.asarray(model.apply(variables, iq, train=False))
     assert (via_pipeline.argmax(-1) == flax.argmax(-1)).all()
+
+
+def test_compiled_serving_wire_path(tpu_project):
+    """Large feature-path batches ride the COMPILED int24 wire program on
+    the chip; labels must agree with the f32 pipeline."""
+    import numpy as np
+
+    from amcpy_tpu.data import io_mat
+    from amcpy_tpu.serve import AMCPipeline
+
+    cfg, model_id = tpu_project
+    wire_pipe = AMCPipeline.from_checkpoint(
+        cfg.replace(compute={"wire_format": "int24"}), model_id
+    )
+    f32_pipe = AMCPipeline.from_checkpoint(
+        cfg.replace(compute={"wire_format": "f32"}), model_id
+    )
+    assert wire_pipe._wire == "int24" and wire_pipe._kernel == "fused"
+    raw = io_mat.load_modulation(cfg, "QPSK").reshape(-1, 256)
+    frames = np.tile(raw, (2, 1))[:512]  # >= WIRE_MIN_BATCH
+    assert wire_pipe._wire_eligible(512, 256)
+    pw = wire_pipe.predict(frames)
+    pf = f32_pipe.predict(frames)
+    assert pw.shape == (512,)
+    assert (pw == pf).mean() > 0.99
