@@ -111,7 +111,7 @@ of "result waits" (`scripts/wait_probe.py` has the attribution).
 
 | phase | seconds |
 |---|---|
-| host prep blocked on (total {e2e.get('prep_total_s', '?')} s of planarize+pad+encode, overlapped with uploads) | {e2e['host_prep_s']} |
+| host prep blocked (planarize+pad+encode runs overlapped with uploads{", total " + str(e2e["prep_total_s"]) + " s" if "prep_total_s" in e2e else ""}) | {e2e['host_prep_s']} |
 | H2D device_put ({e2e['bytes_h2d'] / 1e9:.2f} GB after codec) | {e2e['h2d_s']} |
 | result waits (compute + backlog) | {e2e['wait_s']} |
 | **total wall (incl. loadmat + artifact writes)** | **{e2e['wall_s']}** |

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--model-id", default=None)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--clients", default="8,16",
+    ap.add_argument("--clients", default="8,32",
                     help="comma list of concurrent client counts to sweep")
     ap.add_argument("--small-batch", type=int, default=64)
     ap.add_argument("--requests-per-client", type=int, default=25)

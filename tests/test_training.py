@@ -206,3 +206,30 @@ def test_evaluate_by_snr_exclude_mask():
     excl2 = np.zeros_like(excl)
     excl2[0, 0, 2:] = True  # exclude the wrong ones
     assert _masked_block_accuracy(correct, excl2)[0, 0] == 1.0
+
+
+def test_epoch_program_cached_across_trainings():
+    """Two train() calls with the same model/schedule must reuse ONE
+    jitted epoch program (parity's 10 paired runs and sweep trials
+    previously retraced+recompiled per call) — and caching must not
+    change results: identical seeds still give identical histories."""
+    import numpy as np
+
+    from amcpy_tpu.config import Config
+    from amcpy_tpu.train import training as tr
+
+    cfg = Config().replace(training={"epochs": 2, "batch_size": 32})
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((128, 6)).astype(np.float32)
+    y = rng.integers(0, 6, 128).astype(np.int32)
+
+    tr._EPOCH_CACHE.clear()
+    _, _, h1, _ = tr.train(cfg, x, y, x, y, seed=7)
+    assert len(tr._EPOCH_CACHE) == 1
+    _, _, h2, _ = tr.train(cfg, x, y, x, y, seed=7)
+    assert len(tr._EPOCH_CACHE) == 1  # reused, not retraced
+    assert h1 == h2  # cache does not perturb determinism
+    # a different geometry compiles its own program
+    cfg2 = cfg.replace(training={"batch_size": 16})
+    tr.train(cfg2, x, y, x, y, seed=7)
+    assert len(tr._EPOCH_CACHE) == 2

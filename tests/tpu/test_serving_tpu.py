@@ -99,6 +99,10 @@ def test_compiled_serving_wire_path(tpu_project):
     f32_pipe = AMCPipeline.from_checkpoint(
         cfg.replace(compute={"wire_format": "f32"}), model_id
     )
+    # pin to one device: the multi-device fan-out would split 512 frames
+    # below WIRE_MIN_BATCH per chunk and silently test f32-vs-f32
+    # (review r5 pass 2)
+    wire_pipe.multi_device = f32_pipe.multi_device = False
     assert wire_pipe._wire == "int24" and wire_pipe._kernel == "fused"
     raw = io_mat.load_modulation(cfg, "QPSK").reshape(-1, 256)
     frames = np.tile(raw, (2, 1))[:512]  # >= WIRE_MIN_BATCH
