@@ -74,8 +74,10 @@ def main(path: str) -> None:
             f"**{vs}× the reference training loop** on the reference "
             f"schedule ({tr['schedule']}); including first-epoch "
             f"trace+compile the multiple is "
-            f"{tr.get('vs_reference_wall_incl_compile')}×. Our epoch is "
-            "ONE device dispatch (`lax.scan` over minibatches + full-test "
+            f"{tr.get('vs_reference_wall_incl_compile')}× (one-time per "
+            "process and geometry: the epoch program is cached, so "
+            "parity/sweep/resume runs pay it once). Our epoch is ONE "
+            "device dispatch (`lax.scan` over minibatches + full-test "
             "validation); the reference runs ~225 Python-loop torch "
             "steps/epoch (`nn_model.py:88-198`)."
             if vs
@@ -86,8 +88,8 @@ def main(path: str) -> None:
 
 | configuration | wall (21 epochs), s | steps/s |
 |---|---|---|
-| feature MLP, this framework (steady-state) | {m['steady_wall_s']} | {m['steps_per_s']:,.0f} |
-| feature MLP, this framework (incl. compile) | {m['wall_s']} | — |
+| feature MLP, this framework (warm, full run{', measured' if 'warm_wall_s' in m else ' — extrapolated'}) | {m.get('warm_wall_s', m['steady_wall_s'])} | {m['steps_per_s']:,.0f} |
+| feature MLP, this framework (first call, incl. compile) | {m['wall_s']} | — |
 {ref_rows}
 {vs_line}{cnn_line}
 """
@@ -310,8 +312,9 @@ extractor executed from its checkout, int24 wire codec ACTIVE:
   waits < 3 s; the rate difference is the tunnel's wire-bandwidth
   episode alone ({w['pipeline_bytes_h2d'] / 1e9:.2f} GB at
   {w['pipeline_bytes_h2d'] / 1e6 / max(w['pipeline_h2d_s'], 1e-9):,.0f}
-  MB/s here vs ~38 MB/s in the bench run — the wire varies ~3× between
-  episodes; round 4's runs instead disagreed on WHERE the time went).
+  MB/s here vs {(e2e['bytes_h2d'] / 1e6 / max(e2e['h2d_s'], 1e-9)) if e2e else 0:,.0f} MB/s in the bench run — the wire varies ~3×
+  between episodes; round 4's runs instead disagreed on WHERE the time
+  went).
 * Paired-seed accuracy budget **{'PASS' if a.get('budget', {}).get('pass') else 'FAIL'}**:
   mean |Δ| {a.get('mean_abs_delta', 0) * 100:.2f} pp, max
   {a.get('max_abs_delta', 0) * 100:.2f} pp over all (mod, SNR) cells.
